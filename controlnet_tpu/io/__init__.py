@@ -1,0 +1,10 @@
+from controlnet_tpu.io.images import save_image_grid, to_grid
+from controlnet_tpu.io.checkpoint import save_checkpoint, restore_checkpoint, latest_checkpoint
+
+__all__ = [
+    "save_image_grid",
+    "to_grid",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_checkpoint",
+]

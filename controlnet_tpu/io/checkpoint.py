@@ -1,0 +1,62 @@
+"""Checkpointing: orbax-backed, step-numbered, full-train-state.
+
+Upgrades over the reference's ad-hoc per-epoch ``torch.save`` overwrite with
+no optimizer restore (SURVEY.md §5.4; e.g. tools/train_ddpm.py:96,62-65):
+
+* step-numbered directories ``<ckpt_dir>/<name>/<step>`` with auto-resume
+  from the latest step;
+* the whole train state (params + optimizer state + step + EMA trees) saves
+  and restores as one pytree;
+* works on every backend (orbax uses Tensorstore/OCDBT under the hood).
+
+Layout keeps the reference's output-tree convention: checkpoints live under
+``<task_name>/`` with the YAML-configured ckpt name (minus ``.pth``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckpt_root(ckpt_dir: str, name: str) -> str:
+    name = name[:-4] if name.endswith(".pth") else name
+    return os.path.abspath(os.path.join(ckpt_dir, name))
+
+
+def save_checkpoint(ckpt_dir: str, name: str, step: int, tree: Any) -> str:
+    """Save a pytree at <ckpt_dir>/<name>/<step>. Returns the path."""
+    root = _ckpt_root(ckpt_dir, name)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, str(step))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str, name: str) -> int | None:
+    """Latest saved step, or None."""
+    root = _ckpt_root(ckpt_dir, name)
+    if not os.path.isdir(root):
+        return None
+    steps = [int(d) for d in os.listdir(root) if re.fullmatch(r"\d+", d)
+             and os.path.isdir(os.path.join(root, d))]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, name: str, target: Any, step: int | None = None) -> tuple[Any, int] | None:
+    """Restore the pytree (shaped like ``target``) from the given or latest
+    step.  Returns (tree, step) or None if no checkpoint exists."""
+    if step is None:
+        step = latest_checkpoint(ckpt_dir, name)
+        if step is None:
+            return None
+    path = os.path.join(_ckpt_root(ckpt_dir, name), str(step))
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path, abstract)
+    return tree, step

@@ -1,0 +1,178 @@
+"""ControlNet: frozen trained UNet + trainable encoder copy + zero convs.
+
+Covers both reference variants with one class:
+
+* DDPM ControlNet (models/controlnet.py:13-225): fixed hint encoder
+  hint_ch -> 64 -> 128 -> C0 (conv3x3 + SiLU) ending in a zero conv.
+* LDM ControlNet (models/controlnet_ldm.py:13-179): pass
+  ``down_sample_factor`` (canny hint resolution / latent resolution) and the
+  hint encoder is built dynamically — strided conv stack halving spatial
+  dims and doubling channels from 16 until the factor is consumed.
+
+Forward (controlnet.py:158-225): the frozen trunk's down path runs under
+stop_gradient (the reference uses torch.no_grad()); the control branch gets
+conv_in(x) + hint_block(hint); zero-conv'd control skips are added to the
+frozen skips feeding the frozen decoder; zero-conv'd control mids are added
+to the frozen mid outputs.  At init every zero conv outputs 0, so
+ControlNet(x, t, hint) == base UNet(x, t) exactly — the defining property,
+checked in tests/test_controlnet.py.
+
+Parameter layout (one tree):
+    {"trained_unet": ..., "control_unet": ..., "hint_block": ...,
+     "down_zero": [...], "mid_zero": [...]}
+``split_params``/``merge_params`` give the trainable/frozen partition
+(the JAX analogue of reference get_params, controlnet.py:140-156):
+gradients are simply never taken w.r.t. the frozen subtree.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from controlnet_tpu.models.unet import UNet
+from controlnet_tpu.nn.layers import Conv2d, Sequential
+
+Params = Any
+
+
+def _fixed_hint_block(hint_channels: int, c0: int) -> Sequential:
+    """DDPM hint encoder (controlnet.py:69-89)."""
+    return Sequential([
+        Conv2d(hint_channels, 64, 3), "silu",
+        Conv2d(64, 128, 3), "silu",
+        Conv2d(128, c0, 3), "silu",
+        Conv2d(c0, c0, 1, zero_init=True),
+    ])
+
+
+def _dynamic_hint_block(hint_channels: int, c0: int, down_sample_factor: int) -> Sequential:
+    """LDM hint encoder (controlnet_ldm.py:45-79): stride-2 stages until the
+    hint resolution matches the latent resolution."""
+    steps: list = [Conv2d(hint_channels, 16, 3), "silu"]
+    base = 16
+    factor = down_sample_factor
+    while factor > 1:
+        steps += [Conv2d(base, base * 2, 3, stride=2, padding=1), "silu", Conv2d(base * 2, base * 2, 3)]
+        base *= 2
+        factor //= 2
+    steps += [Conv2d(base, c0, 3), "silu", Conv2d(c0, c0, 1, zero_init=True)]
+    return Sequential(steps)
+
+
+class ControlNet:
+    def __init__(
+        self,
+        im_channels: int,
+        model_config: Mapping[str, Any],
+        model_locked: bool = True,
+        down_sample_factor: int | None = None,
+    ):
+        self.model_locked = model_locked
+        self.unet = UNet(im_channels, model_config)  # frozen trunk (full)
+        self.control_unet = UNet(im_channels, model_config, use_up=False)
+        dc = self.unet.down_channels
+        mc = self.unet.mid_channels
+        if down_sample_factor is None:
+            self.hint_block = _fixed_hint_block(model_config["hint_channels"], dc[0])
+        else:
+            self.hint_block = _dynamic_hint_block(model_config["hint_channels"], dc[0], down_sample_factor)
+        # One zero conv per down block input (controlnet.py:92-98) and per
+        # mid-block output channel width (controlnet.py:101-107).
+        self.down_zero = [Conv2d(dc[i], dc[i], 1, zero_init=True) for i in range(len(dc) - 1)]
+        self.mid_zero = [Conv2d(mc[i], mc[i], 1, zero_init=True) for i in range(1, len(mc))]
+
+    # ------------------------------------------------------------------
+    def init(self, key: jax.Array, trained_unet_params: Params | None = None) -> Params:
+        """Initialize. If ``trained_unet_params`` is given (a trained base
+        UNet tree), both the frozen trunk and the control copy start from it
+        (the reference loads the same checkpoint into both,
+        controlnet.py:27-65)."""
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        if trained_unet_params is not None:
+            trained = jax.tree.map(jnp.asarray, trained_unet_params)
+            control = {
+                k: copy.deepcopy(v)
+                for k, v in trained.items()
+                if k not in ("ups", "norm_out", "conv_out")
+            }
+        else:
+            trained = self.unet.init(k1)
+            control = self.control_unet.init(k2)
+        dzk = jax.random.split(k4, max(len(self.down_zero), 1))
+        mzk = jax.random.split(k5, max(len(self.mid_zero), 1))
+        return {
+            "trained_unet": trained,
+            "control_unet": control,
+            "hint_block": self.hint_block.init(k3),
+            "down_zero": [z.init(dzk[i]) for i, z in enumerate(self.down_zero)],
+            "mid_zero": [z.init(mzk[i]) for i, z in enumerate(self.mid_zero)],
+        }
+
+    # ------------------------------------------------------------------
+    # trainable/frozen partition (analogue of get_params, controlnet.py:140-156)
+    # ------------------------------------------------------------------
+    _CONTROL_KEYS = ("control_unet", "hint_block", "down_zero", "mid_zero")
+    _DECODER_KEYS = ("ups", "norm_out", "conv_out")
+
+    def split_params(self, p: Params) -> tuple[Params, Params]:
+        """Returns (trainable, frozen) trees. merge_params() inverts."""
+        trainable = {k: p[k] for k in self._CONTROL_KEYS}
+        if self.model_locked:
+            frozen = {"trained_unet": p["trained_unet"]}
+        else:
+            trainable["trained_unet"] = {
+                k: v for k, v in p["trained_unet"].items() if k in self._DECODER_KEYS
+            }
+            frozen = {
+                "trained_unet": {
+                    k: v for k, v in p["trained_unet"].items() if k not in self._DECODER_KEYS
+                }
+            }
+        return trainable, frozen
+
+    def merge_params(self, trainable: Params, frozen: Params) -> Params:
+        p = {k: trainable[k] for k in self._CONTROL_KEYS}
+        if self.model_locked:
+            p["trained_unet"] = frozen["trained_unet"]
+        else:
+            p["trained_unet"] = {**frozen["trained_unet"], **trainable["trained_unet"]}
+        return p
+
+    # ------------------------------------------------------------------
+    def __call__(self, p: Params, x: jax.Array, t: jax.Array, hint: jax.Array) -> jax.Array:
+        unet, ctrl = self.unet, self.control_unet
+
+        # Frozen trunk down path — stop_gradient mirrors torch.no_grad()
+        # (controlnet.py:166-170) and lets XLA skip the backward graph.
+        fp = jax.lax.stop_gradient(p["trained_unet"])
+        f_t_emb = unet.time_embed(fp, t)
+        f_out = unet.stem(fp, x)
+        f_out, f_down_outs = unet.encode(fp, f_out, f_t_emb)
+
+        # Control branch (trainable).
+        c_t_emb = ctrl.time_embed(p["control_unet"], t)
+        hint_out = self.hint_block(p["hint_block"], hint)
+        c_out = ctrl.stem(p["control_unet"], x) + hint_out
+
+        c_down_outs = []
+        for i, (blk, bp) in enumerate(zip(ctrl.downs, p["control_unet"]["downs"])):
+            c_down_outs.append(self.down_zero[i](p["down_zero"][i], c_out))
+            c_out = blk(bp, c_out, c_t_emb)
+
+        # Mids: control mid output injected into frozen mid stream through a
+        # zero conv (controlnet.py:195-207).  Frozen mid params come from the
+        # un-stop_gradient'd tree so grads can flow *through* them to the
+        # control branch (reference runs them outside no_grad).
+        m_out = f_out
+        for i in range(len(unet.mids)):
+            c_out = ctrl.mid_stage(p["control_unet"], i, c_out, c_t_emb)
+            m_out = unet.mid_stage(p["trained_unet"], i, m_out, f_t_emb)
+            m_out = m_out + self.mid_zero[i](p["mid_zero"][i], c_out)
+
+        # Frozen decoder with summed skips (controlnet.py:210-218).
+        skips = [f + c for f, c in zip(f_down_outs, c_down_outs)]
+        return unet.decode(p["trained_unet"], m_out, skips, f_t_emb)

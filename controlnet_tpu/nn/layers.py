@@ -1,0 +1,323 @@
+"""Functional neural-net layers over explicit parameter pytrees.
+
+Design: a layer object is *static configuration only* — hyperparameters and
+shapes.  ``init(key)`` returns a pytree of parameters, ``__call__(params, x)``
+is a pure function.  This keeps the whole framework jit/pjit/scan friendly
+and makes frozen-vs-trainable splits (ControlNet), EMA teachers, and
+multi-optimizer training plain pytree operations.
+
+Layout is NHWC throughout (TPU conv-friendly: channels map onto the 128-wide
+lane dimension).  Weights are stored HWIO for convs.  Matmul/conv accumulate
+in float32 via ``preferred_element_type`` so bf16 activations stay accurate.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = Any  # nested dict of jax.Array
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def get_time_embedding(time_steps: jax.Array, temb_dim: int) -> jax.Array:
+    """Sinusoidal timestep embedding: concat(sin(t/f), cos(t/f)),
+    f_i = 10000^(i / (d/2)).
+
+    Parity: reference get_time_embedding (models/blocks.py:5-28 and
+    models/unet_base.py:5-28 — deduplicated here).  Accepts scalar or (B,)
+    timesteps (int or float — consistency models pass scaled noise levels).
+    """
+    assert temb_dim % 2 == 0, "time embedding dimension must be divisible by 2"
+    t = jnp.atleast_1d(jnp.asarray(time_steps, jnp.float32))
+    half = temb_dim // 2
+    factor = 10000.0 ** (jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None] / factor[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+def _uniform(key: jax.Array, shape: Sequence[int], bound: float) -> jax.Array:
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+class Conv2d:
+    """2D convolution, NHWC/HWIO. Matches torch Conv2d(k, stride, padding) shape
+    semantics for the (k=3,p=1), (k=1,p=0), (k=4,s=2,p=1) cases used here."""
+
+    def __init__(
+        self,
+        in_ch: int,
+        out_ch: int,
+        kernel_size: int,
+        stride: int = 1,
+        padding: int | None = None,
+        use_bias: bool = True,
+        zero_init: bool = False,
+    ):
+        self.in_ch = in_ch
+        self.out_ch = out_ch
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = (kernel_size - 1) // 2 if padding is None else padding
+        self.use_bias = use_bias
+        self.zero_init = zero_init
+
+    def init(self, key: jax.Array) -> Params:
+        k = self.kernel_size
+        shape = (k, k, self.in_ch, self.out_ch)
+        if self.zero_init:
+            # Zero-initialized ("zero conv") — the ControlNet trick
+            # (reference models/controlnet.py:7-10).
+            w = jnp.zeros(shape, jnp.float32)
+            b = jnp.zeros((self.out_ch,), jnp.float32)
+        else:
+            kw, kb = jax.random.split(key)
+            bound = 1.0 / math.sqrt(self.in_ch * k * k)
+            w = _uniform(kw, shape, bound)
+            b = _uniform(kb, (self.out_ch,), bound)
+        p = {"w": w}
+        if self.use_bias:
+            p["b"] = b
+        return p
+
+    def __call__(self, p: Params, x: jax.Array) -> jax.Array:
+        pad = self.padding
+        out = jax.lax.conv_general_dilated(
+            x,
+            p["w"].astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            out = out + p["b"].astype(jnp.float32)
+        return out.astype(x.dtype)
+
+
+class ConvTranspose2d:
+    """Transposed conv matching torch ConvTranspose2d(k=4, s=2, p=1) shape
+    semantics (exact 2x spatial upsample), used by every UpBlock."""
+
+    def __init__(self, in_ch: int, out_ch: int, kernel_size: int = 4, stride: int = 2, padding: int = 1):
+        self.in_ch = in_ch
+        self.out_ch = out_ch
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = padding
+
+    def init(self, key: jax.Array) -> Params:
+        k = self.kernel_size
+        kw, kb = jax.random.split(key)
+        bound = 1.0 / math.sqrt(self.in_ch * k * k)
+        return {
+            "w": _uniform(kw, (k, k, self.in_ch, self.out_ch), bound),
+            "b": _uniform(kb, (self.out_ch,), bound),
+        }
+
+    def __call__(self, p: Params, x: jax.Array) -> jax.Array:
+        # torch ConvTranspose2d(k, s, p): out = (in-1)*s - 2p + k.
+        # jax conv_transpose is a stride-dilated conv: out = (in-1)*s + 1
+        # + lo + hi - (k-1), so lo = hi = k - 1 - p reproduces torch.
+        k, s, pd = self.kernel_size, self.stride, self.padding
+        eff = k - 1 - pd
+        out = jax.lax.conv_transpose(
+            x,
+            p["w"].astype(x.dtype),
+            strides=(s, s),
+            padding=((eff, eff), (eff, eff)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        out = out + p["b"].astype(jnp.float32)
+        return out.astype(x.dtype)
+
+
+class Linear:
+    def __init__(self, in_dim: int, out_dim: int, use_bias: bool = True):
+        self.in_dim = in_dim
+        self.out_dim = out_dim
+        self.use_bias = use_bias
+
+    def init(self, key: jax.Array) -> Params:
+        kw, kb = jax.random.split(key)
+        bound = 1.0 / math.sqrt(self.in_dim)
+        p = {"w": _uniform(kw, (self.in_dim, self.out_dim), bound)}
+        if self.use_bias:
+            p["b"] = _uniform(kb, (self.out_dim,), bound)
+        return p
+
+    def __call__(self, p: Params, x: jax.Array) -> jax.Array:
+        out = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+        if self.use_bias:
+            out = out + p["b"].astype(jnp.float32)
+        return out.astype(x.dtype)
+
+
+class GroupNorm:
+    """GroupNorm over the channel (last) axis of NHWC or (B, L, C) tensors.
+
+    Matches torch GroupNorm(num_groups, C) semantics: per-sample, per-group
+    normalization over (spatial..., C/G).  Stats in float32.
+    """
+
+    def __init__(self, num_groups: int, channels: int, eps: float = 1e-5):
+        assert channels % num_groups == 0, f"channels {channels} % groups {num_groups} != 0"
+        self.num_groups = num_groups
+        self.channels = channels
+        self.eps = eps
+
+    def init(self, key: jax.Array) -> Params:
+        del key
+        return {
+            "scale": jnp.ones((self.channels,), jnp.float32),
+            "bias": jnp.zeros((self.channels,), jnp.float32),
+        }
+
+    def __call__(self, p: Params, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        b = x.shape[0]
+        g = self.num_groups
+        xf = x.astype(jnp.float32).reshape(b, -1, g, self.channels // g)
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = xf.var(axis=(1, 3), keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        xf = xf.reshape(x.shape)
+        out = xf * p["scale"] + p["bias"]
+        return out.astype(orig_dtype)
+
+
+class BatchNorm:
+    """Batch norm using batch statistics (training mode).
+
+    Used by the PatchGAN discriminator and the DMD feature extractor —
+    neither is ever run in eval/inference mode in the reference pipeline
+    (discriminator.py:31, distribution_matching_controlnet.py:29-60), so
+    running-average state is not kept.
+    """
+
+    def __init__(self, channels: int, eps: float = 1e-5):
+        self.channels = channels
+        self.eps = eps
+
+    def init(self, key: jax.Array) -> Params:
+        del key
+        return {
+            "scale": jnp.ones((self.channels,), jnp.float32),
+            "bias": jnp.zeros((self.channels,), jnp.float32),
+        }
+
+    def __call__(self, p: Params, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))  # all but channel
+        mean = xf.mean(axis=axes, keepdims=True)
+        var = xf.var(axis=axes, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + self.eps) * p["scale"] + p["bias"]
+        return out.astype(orig_dtype)
+
+
+class MultiheadAttention:
+    """Multi-head (self or cross) attention over (B, L, C) tokens.
+
+    Functionally equivalent to torch nn.MultiheadAttention(embed_dim, heads,
+    batch_first=True) as used in every reference block (blocks.py:86-104):
+    fused qkv projection + scaled dot-product + output projection.
+
+    The inner product runs through ``controlnet_tpu.ops.attention`` which
+    dispatches to a fused Pallas kernel on TPU when shapes allow.
+    """
+
+    def __init__(self, embed_dim: int, num_heads: int, kv_dim: int | None = None):
+        assert embed_dim % num_heads == 0
+        self.embed_dim = embed_dim
+        self.num_heads = num_heads
+        self.kv_dim = kv_dim if kv_dim is not None else embed_dim
+
+    def init(self, key: jax.Array) -> Params:
+        d = self.embed_dim
+        kq, kk, kv, ko = jax.random.split(key, 4)
+        # torch uses xavier_uniform for in_proj; bound = sqrt(6/(fan_in+fan_out))
+        bq = math.sqrt(6.0 / (d + d))
+        bkv = math.sqrt(6.0 / (self.kv_dim + d))
+        bo = 1.0 / math.sqrt(d)
+        return {
+            "wq": _uniform(kq, (d, d), bq),
+            "wk": _uniform(kk, (self.kv_dim, d), bkv),
+            "wv": _uniform(kv, (self.kv_dim, d), bkv),
+            "bq": jnp.zeros((d,), jnp.float32),
+            "bk": jnp.zeros((d,), jnp.float32),
+            "bv": jnp.zeros((d,), jnp.float32),
+            "wo": _uniform(ko, (d, d), bo),
+            "bo": jnp.zeros((d,), jnp.float32),
+        }
+
+    def __call__(self, p: Params, q_in: jax.Array, kv_in: jax.Array | None = None) -> jax.Array:
+        from controlnet_tpu.ops.attention import multi_head_attention
+
+        if kv_in is None:
+            kv_in = q_in
+        dt = q_in.dtype
+        q = jnp.dot(q_in, p["wq"].astype(dt), preferred_element_type=jnp.float32) + p["bq"]
+        k = jnp.dot(kv_in, p["wk"].astype(dt), preferred_element_type=jnp.float32) + p["bk"]
+        v = jnp.dot(kv_in, p["wv"].astype(dt), preferred_element_type=jnp.float32) + p["bv"]
+        out = multi_head_attention(q.astype(dt), k.astype(dt), v.astype(dt), self.num_heads)
+        out = jnp.dot(out, p["wo"].astype(dt), preferred_element_type=jnp.float32) + p["bo"]
+        return out.astype(dt)
+
+
+class Identity:
+    def init(self, key: jax.Array) -> Params:
+        del key
+        return {}
+
+    def __call__(self, p: Params, x: jax.Array) -> jax.Array:
+        return x
+
+
+class Sequential:
+    """A static chain of (layer, activation) steps.
+
+    ``steps`` is a list whose entries are layer objects or the string
+    "silu"/"relu"/"leaky_relu" for parameter-free activations.
+    """
+
+    def __init__(self, steps: Sequence[Any]):
+        self.steps = list(steps)
+
+    def init(self, key: jax.Array) -> Params:
+        params = []
+        layer_steps = [s for s in self.steps if not isinstance(s, str)]
+        keys = jax.random.split(key, max(len(layer_steps), 1))
+        ki = 0
+        for s in self.steps:
+            if isinstance(s, str):
+                params.append({})
+            else:
+                params.append(s.init(keys[ki]))
+                ki += 1
+        return {"layers": params}
+
+    def __call__(self, p: Params, x: jax.Array) -> jax.Array:
+        for s, sp in zip(self.steps, p["layers"]):
+            if s == "silu":
+                x = silu(x)
+            elif s == "relu":
+                x = jax.nn.relu(x)
+            elif s == "leaky_relu":
+                x = leaky_relu(x)
+            elif isinstance(s, str):
+                raise ValueError(f"unknown activation {s}")
+            else:
+                x = s(sp, x)
+        return x

@@ -1,0 +1,64 @@
+"""Attention compute paths: fused Pallas TPU kernel + XLA fallback.
+
+The workload is self/cross attention over flattened spatial tokens — at most
+784 tokens (MNIST 28x28) / 1024 (CIFAR) / 256 (CelebHQ 16x16 latents) with
+32..768 channels (reference models/blocks.py:128-134).  Sequence-parallel
+machinery (ring attention etc.) has no workload here; the win is fusing the
+softmax(QK^T)V chain into one VMEM-resident kernel so the (B*H, L, L) score
+matrix never round-trips to HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("CONTROLNET_TPU_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Reference XLA path. q,k,v: (B, H, L, Dh). Softmax in float32."""
+    dh = q.shape[-1]
+    scale = 1.0 / (dh**0.5)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * scale, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, l, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+
+
+def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int) -> jax.Array:
+    """Multi-head attention over (B, L, D) tokens (post-projection).
+
+    Dispatches to the fused Pallas kernel on TPU when the shapes fit in VMEM,
+    otherwise uses the XLA einsum path (which XLA fuses well at these sizes).
+    """
+    qh = _split_heads(q, num_heads)
+    kh = _split_heads(k, num_heads)
+    vh = _split_heads(v, num_heads)
+
+    if _use_pallas():
+        try:
+            from controlnet_tpu.ops.pallas_attention import fused_attention
+
+            out = fused_attention(qh, kh, vh)
+            return _merge_heads(out)
+        except Exception:  # pragma: no cover - fallback safety
+            pass
+    return _merge_heads(_xla_attention(qh, kh, vh))

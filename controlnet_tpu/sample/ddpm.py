@@ -1,0 +1,91 @@
+"""On-device ancestral sampling loops.
+
+The reference's sampler round-trips to the host and writes a PNG grid at
+every one of the 1000 steps (tools/sample_ddpm.py:27-42 — SURVEY.md calls
+this the #1 thing not to replicate).  Here the entire denoising loop is one
+``lax.scan`` carrying x_t on device; the x_t trajectory (optionally
+subsampled with ``record_every``) is stacked on device and returned as one
+array, so the tools write all PNGs once at the end with identical artifact
+content.
+
+Works for pixel DDPM, DDPM ControlNet (pass hint), and latent LDM
+(pass a VAE decode at the end in the tool).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from controlnet_tpu.schedules.linear import LinearSchedule, sample_prev_timestep
+
+
+def make_ddpm_sampler(
+    eps_fn: Callable,
+    sched: LinearSchedule,
+    shape: tuple[int, ...],
+    record_every: int = 1,
+):
+    """Build a jitted sampler.
+
+    ``eps_fn(params, x_t, t_batch [, hint])`` predicts epsilon.  ``shape``
+    is the full (B, H, W, C) sample shape.  Returns
+    ``sampler(params, key[, hint]) -> (x0_final, trajectory)`` where
+    trajectory is (T//record_every, B, H, W, C) of clamped x_t snapshots
+    (newest last), matching the reference's per-step "x0_*.png" artifact
+    content (sample_ddpm.py:27-42).
+    """
+    T = sched.num_timesteps
+    assert T % record_every == 0
+
+    def sampler(params, key, hint=None):
+        k0, key = jax.random.split(key)
+        xt = jax.random.normal(k0, shape, jnp.float32)
+        b = shape[0]
+
+        def body(carry, i):
+            xt, key = carry
+            t = T - 1 - i
+            key, kstep = jax.random.split(key)
+            t_batch = jnp.full((b,), t, jnp.int32)
+            if hint is None:
+                noise_pred = eps_fn(params, xt, t_batch)
+            else:
+                noise_pred = eps_fn(params, xt, t_batch, hint)
+            xt_next, x0 = sample_prev_timestep(sched, xt, noise_pred, t, kstep)
+            snap = jnp.clip(xt_next, -1.0, 1.0)
+            return (xt_next, key), snap
+
+        (xt, _), snaps = jax.lax.scan(body, (xt, key), jnp.arange(T))
+        traj = snaps[record_every - 1 :: record_every]
+        return xt, traj
+
+    return jax.jit(sampler)
+
+
+def make_ldm_sampler(
+    eps_fn: Callable,
+    decode_fn: Callable,
+    sched: LinearSchedule,
+    latent_shape: tuple[int, ...],
+    record_every: int = 1,
+):
+    """Latent-space sampler: scan in latent space, VAE-decode only the final
+    x_0 on device (the reference decodes only at t==0 as well,
+    sample_ldm_vae.py:40-44).
+
+    ``decode_fn(vae_params, z)``.  Returns
+    ``sampler(unet_params, vae_params, key[, hint]) ->
+       (decoded images, latent trajectory)``.
+    """
+    latent_sampler = make_ddpm_sampler(eps_fn, sched, latent_shape, record_every)
+
+    def sampler(unet_params, vae_params, key, hint=None):
+        z0, traj = latent_sampler(unet_params, key, hint)
+        images = decode_fn(vae_params, z0)
+        return images, traj
+
+    return jax.jit(sampler)

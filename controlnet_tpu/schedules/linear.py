@@ -1,0 +1,127 @@
+"""Linear (DDPM) noise schedule, fully jittable.
+
+Capability parity with the reference LinearNoiseScheduler
+(/root/reference/scheduler/linear_noise_scheduler.py:8-77), including the
+CompVis sqrt-space `ldm_scheduler` variant (:13-17).  Unlike the reference,
+every function here is a pure jittable op over a pytree of precomputed
+tables, so the whole ancestral sampling loop can live inside one
+``lax.scan`` on device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LinearSchedule(NamedTuple):
+    """Precomputed DDPM schedule tables (all float32, shape [T])."""
+
+    betas: jax.Array
+    alphas: jax.Array
+    alpha_cum_prod: jax.Array
+    sqrt_alpha_cum_prod: jax.Array
+    sqrt_one_minus_alpha_cum_prod: jax.Array
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.betas.shape[0]
+
+
+def make_linear_schedule(
+    num_timesteps: int,
+    beta_start: float,
+    beta_end: float,
+    ldm_scheduler: bool = False,
+) -> LinearSchedule:
+    """Build the beta/alpha tables.
+
+    ``ldm_scheduler=True`` uses the CompVis convention of interpolating in
+    sqrt-beta space (reference linear_noise_scheduler.py:13-17), which the
+    celebhq LDM configs rely on for fidelity parity.
+    """
+    if ldm_scheduler:
+        betas = jnp.linspace(beta_start**0.5, beta_end**0.5, num_timesteps, dtype=jnp.float32) ** 2
+    else:
+        betas = jnp.linspace(beta_start, beta_end, num_timesteps, dtype=jnp.float32)
+    alphas = 1.0 - betas
+    alpha_cum_prod = jnp.cumprod(alphas)
+    return LinearSchedule(
+        betas=betas,
+        alphas=alphas,
+        alpha_cum_prod=alpha_cum_prod,
+        sqrt_alpha_cum_prod=jnp.sqrt(alpha_cum_prod),
+        sqrt_one_minus_alpha_cum_prod=jnp.sqrt(1.0 - alpha_cum_prod),
+    )
+
+
+def _bcast(table_at_t: jax.Array, ndim: int) -> jax.Array:
+    """Reshape a (B,) gather to (B, 1, 1, ...) for broadcasting over NHWC."""
+    return table_at_t.reshape(table_at_t.shape[0], *([1] * (ndim - 1)))
+
+
+def add_noise(sched: LinearSchedule, original: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
+    """Forward process q(x_t | x_0): sqrt(acp_t) x0 + sqrt(1-acp_t) eps.
+
+    Parity: reference add_noise (linear_noise_scheduler.py:25-47).
+    ``t`` is an int array of shape (B,) (or scalar, broadcast to batch).
+    """
+    t = jnp.atleast_1d(t)
+    sa = _bcast(sched.sqrt_alpha_cum_prod[t], original.ndim)
+    soma = _bcast(sched.sqrt_one_minus_alpha_cum_prod[t], original.ndim)
+    return sa * original + soma * noise
+
+
+def eps_to_x0(sched: LinearSchedule, xt: jax.Array, noise_pred: jax.Array, t: jax.Array) -> jax.Array:
+    """Convert an epsilon prediction at timestep t into a clamped x0 estimate.
+
+    Parity: the x0 computation inside sample_prev_timestep
+    (linear_noise_scheduler.py:58-60) and the teacher eps->x0 conversions in
+    both distillation wrappers (consistency_controlnet_distilled.py:219-226,
+    distribution_matching_controlnet.py:205-214).
+    """
+    t = jnp.atleast_1d(t)
+    soma = _bcast(sched.sqrt_one_minus_alpha_cum_prod[t], xt.ndim)
+    sa = _bcast(sched.sqrt_alpha_cum_prod[t], xt.ndim)
+    x0 = (xt - soma * noise_pred) / sa
+    return jnp.clip(x0, -1.0, 1.0)
+
+
+def sample_prev_timestep(
+    sched: LinearSchedule,
+    xt: jax.Array,
+    noise_pred: jax.Array,
+    t: jax.Array,
+    key: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """One ancestral sampling step: returns (x_{t-1}, clamped x0 prediction).
+
+    Parity: reference sample_prev_timestep (linear_noise_scheduler.py:49-77),
+    expressed branchlessly so it can sit inside ``lax.scan``/``fori_loop``:
+    the ``t == 0`` case (return posterior mean, no noise) becomes a
+    ``jnp.where`` mask instead of Python control flow.
+
+    ``t`` is a scalar int (traced).  The caller advances the RNG key.
+    """
+    t = jnp.asarray(t, dtype=jnp.int32)
+    soma_t = sched.sqrt_one_minus_alpha_cum_prod[t]
+    acp_t = sched.alpha_cum_prod[t]
+    beta_t = sched.betas[t]
+    alpha_t = sched.alphas[t]
+
+    x0 = (xt - soma_t * noise_pred) / jnp.sqrt(acp_t)
+    x0 = jnp.clip(x0, -1.0, 1.0)
+
+    mean = (xt - beta_t * noise_pred / soma_t) / jnp.sqrt(alpha_t)
+
+    # Posterior variance uses acp[t-1]; clamp the index so tracing t == 0 is
+    # safe (the where() below discards the value in that case).
+    t_prev = jnp.maximum(t - 1, 0)
+    variance = (1.0 - sched.alpha_cum_prod[t_prev]) / (1.0 - acp_t) * beta_t
+    sigma = jnp.sqrt(variance)
+    z = jax.random.normal(key, xt.shape, dtype=xt.dtype)
+
+    x_prev = jnp.where(t == 0, mean, mean + sigma * z)
+    return x_prev, x0

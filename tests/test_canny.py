@@ -1,0 +1,44 @@
+"""On-TPU canny vs cv2.Canny(100, 200) fidelity (SURVEY.md §7 hard part 7:
+the training distribution depends on hint fidelity)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlnet_tpu.data.synthetic import _draw_shape
+from controlnet_tpu.ops.canny import canny_edges, canny_hints
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _agreement(a: np.ndarray, b: np.ndarray) -> float:
+    return float((a == b).mean())
+
+
+def test_canny_matches_cv2_on_shapes():
+    rng = np.random.default_rng(0)
+    imgs = np.stack([_draw_shape(rng, 28, k) for k in range(8)])
+    ours = np.asarray(canny_edges(jnp.asarray(imgs, jnp.float32))).astype(np.uint8)
+    refs = np.stack([cv2.Canny(im, 100, 200) for im in imgs])
+    # Pixel-exact agreement is not expected (cv2 NMS tie-breaking differs at
+    # plateau edges); require high agreement on every image.
+    for o, r in zip(ours, refs):
+        assert _agreement(o > 0, r > 0) > 0.93
+
+
+def test_canny_blank_and_full():
+    blank = jnp.zeros((1, 16, 16))
+    assert float(canny_edges(blank).sum()) == 0.0
+    flat = jnp.full((1, 16, 16), 200.0)
+    assert float(canny_edges(flat).sum()) == 0.0  # no gradient -> no edges
+
+
+def test_canny_hints_contract():
+    """Hints are 3-channel [0,1] replicas (mnist_dataset.py:56-63)."""
+    rng = np.random.default_rng(1)
+    img = _draw_shape(rng, 28, 0).astype(np.float32) / 255.0
+    hints = np.asarray(canny_hints(jnp.asarray(img)[None, :, :, None]))
+    assert hints.shape == (1, 28, 28, 3)
+    assert set(np.unique(hints)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(hints[..., 0], hints[..., 1])
+    np.testing.assert_array_equal(hints[..., 0], hints[..., 2])

@@ -1,0 +1,103 @@
+"""Config loading/validation, synthetic data + datasets, image grids,
+checkpoint round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlnet_tpu import config as cfg
+from controlnet_tpu.data.datasets import MnistDataset, iterate_batches, load_latents
+from controlnet_tpu.data.synthetic import make_synthetic_image_tree
+from controlnet_tpu.io.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from controlnet_tpu.io.images import denorm, save_image_grid, to_grid
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_load_reference_schema_configs():
+    """The shipped YAML files keep the reference schema exactly."""
+    for name in ["mnist", "cifar", "celebhq"]:
+        c = cfg.load_config(os.path.join(REPO, "config", f"{name}.yaml"))
+        assert "dataset_params" in c and "diffusion_params" in c and "train_params" in c
+        mp = cfg.model_params(c)
+        cfg.validate_unet_model_params(mp)
+    celeb = cfg.load_config(os.path.join(REPO, "config", "celebhq.yaml"))
+    cfg.validate_vae_model_params(cfg.autoencoder_params(celeb))
+
+
+def test_config_validation_errors(tiny_model_config):
+    bad = dict(tiny_model_config)
+    bad["mid_channels"] = [99, 16]
+    with pytest.raises(cfg.ConfigError):
+        cfg.validate_unet_model_params(bad)
+    with pytest.raises(cfg.ConfigError):
+        cfg.load_config("/nonexistent/x.yaml")
+    assert cfg.get_config_value({"a": 1}, "a", 0) == 1
+    assert cfg.get_config_value({"a": 1}, "b", 7) == 7
+
+
+def test_synthetic_tree_and_mnist_dataset(tmp_path):
+    root = make_synthetic_image_tree(str(tmp_path / "train"), num_classes=2, per_class=3, size=28)
+    ds = MnistDataset("train", root, return_hints=False)
+    assert len(ds) == 6
+    im = ds[0]
+    assert im.shape == (28, 28, 1)
+    assert im.min() >= -1.0 and im.max() <= 1.0
+
+    ds_h = MnistDataset("train", root, return_hints=True)
+    im, hint = ds_h[0]
+    assert hint.shape == (28, 28, 3)
+    assert set(np.unique(hint)) <= {0.0, 1.0}
+
+
+def test_iterate_batches(tmp_path):
+    root = make_synthetic_image_tree(str(tmp_path / "t"), num_classes=2, per_class=4, size=8)
+    ds = MnistDataset("train", root, return_hints=True)
+    batches = list(iterate_batches(ds, batch_size=4, shuffle=True, seed=0))
+    assert len(batches) == 2
+    ims, hints = batches[0]
+    assert ims.shape == (4, 8, 8, 1) and hints.shape == (4, 8, 8, 3)
+    # deterministic under the same seed
+    batches2 = list(iterate_batches(ds, batch_size=4, shuffle=True, seed=0))
+    np.testing.assert_array_equal(batches[0][0], batches2[0][0])
+
+
+def test_latent_cache_roundtrip(tmp_path):
+    """npz shards + reference pickle shards both load
+    (utils/diffusion_utils.py:7-18)."""
+    import pickle
+
+    d = tmp_path / "latents"
+    d.mkdir()
+    np.savez(d / "shard0.npz", **{"img_a.png": np.ones((4, 4, 2), np.float32)})
+    with open(d / "shard1.pkl", "wb") as f:
+        pickle.dump({"img_b.png": np.zeros((1, 4, 4, 2), np.float32)}, f)
+    latents = load_latents(str(d))
+    assert set(latents) == {"img_a.png", "img_b.png"}
+    assert latents["img_b.png"].shape == (4, 4, 2)  # [0] unwrap of 4D
+
+
+def test_image_grid(tmp_path):
+    imgs = np.random.rand(5, 8, 8, 1).astype(np.float32)
+    grid = to_grid(imgs, nrow=3)
+    assert grid.dtype == np.uint8
+    path = str(tmp_path / "g.png")
+    save_image_grid(imgs, path, nrow=3)
+    assert os.path.exists(path)
+    np.testing.assert_allclose(denorm(np.array([-1.0, 1.0])), [0.0, 1.0])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3), "b": [jnp.ones(2), {"c": jnp.zeros(1)}]}
+    ckpt_dir = str(tmp_path / "task")
+    assert latest_checkpoint(ckpt_dir, "model.pth") is None
+    save_checkpoint(ckpt_dir, "model.pth", 3, tree)
+    save_checkpoint(ckpt_dir, "model.pth", 7, tree)
+    assert latest_checkpoint(ckpt_dir, "model.pth") == 7
+    restored, step = restore_checkpoint(ckpt_dir, "model.pth", tree)
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

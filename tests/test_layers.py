@@ -1,0 +1,149 @@
+"""Layer-level parity tests: conv/transpose shape semantics vs torch,
+GroupNorm vs torch.nn.GroupNorm, attention vs reference math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlnet_tpu.nn.layers import (
+    BatchNorm,
+    Conv2d,
+    ConvTranspose2d,
+    GroupNorm,
+    Linear,
+    MultiheadAttention,
+    get_time_embedding,
+)
+
+
+def test_time_embedding_matches_reference_formula():
+    """10000^(i/(d/2)) sin/cos table (blocks.py:5-28), checked vs a numpy
+    transcription of the formula."""
+    temb_dim = 8
+    t = jnp.array([0, 1, 17])
+    emb = np.asarray(get_time_embedding(t, temb_dim))
+    half = temb_dim // 2
+    factor = 10000.0 ** (np.arange(half) / half)
+    args = np.asarray(t)[:, None] / factor[None, :]
+    expected = np.concatenate([np.sin(args), np.cos(args)], axis=-1)
+    np.testing.assert_allclose(emb, expected, atol=1e-5)
+    # scalar input is promoted to batch of 1 (reference :16-17)
+    assert get_time_embedding(jnp.int32(3), temb_dim).shape == (1, temb_dim)
+
+
+def test_conv_shapes_match_torch_semantics():
+    x = jnp.zeros((2, 8, 8, 4))
+    assert Conv2d(4, 6, 3).init(jax.random.PRNGKey(0))["w"].shape == (3, 3, 4, 6)
+    c3 = Conv2d(4, 6, 3)
+    assert c3(c3.init(jax.random.PRNGKey(0)), x).shape == (2, 8, 8, 6)
+    c1 = Conv2d(4, 6, 1)
+    assert c1(c1.init(jax.random.PRNGKey(0)), x).shape == (2, 8, 8, 6)
+    cd = Conv2d(4, 6, 4, stride=2, padding=1)  # torch 4/2/1 downsample: H/2
+    assert cd(cd.init(jax.random.PRNGKey(0)), x).shape == (2, 4, 4, 6)
+    ct = ConvTranspose2d(4, 4, 4, 2, 1)  # torch 4/2/1 upsample: 2H
+    assert ct(ct.init(jax.random.PRNGKey(0)), x).shape == (2, 16, 16, 4)
+    # odd sizes (28 -> 14 -> 7 -> 14 -> 28 roundtrip used by MNIST UNet)
+    x7 = jnp.zeros((1, 7, 7, 4))
+    assert ct(ct.init(jax.random.PRNGKey(0)), x7).shape == (1, 14, 14, 4)
+
+
+def test_conv_against_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 4, 9, 9)).astype(np.float32)  # NCHW for torch
+    w = rng.normal(size=(6, 4, 3, 3)).astype(np.float32)
+    b = rng.normal(size=(6,)).astype(np.float32)
+
+    tconv = torch.nn.Conv2d(4, 6, 3, padding=1)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(w))
+        tconv.bias.copy_(torch.from_numpy(b))
+        t_out = tconv(torch.from_numpy(x)).numpy()
+
+    conv = Conv2d(4, 6, 3)
+    p = {"w": jnp.asarray(w.transpose(2, 3, 1, 0)), "b": jnp.asarray(b)}
+    j_out = np.asarray(conv(p, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(j_out.transpose(0, 3, 1, 2), t_out, atol=1e-4)
+
+
+def test_conv_transpose_against_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 3, 5, 5)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 4, 4)).astype(np.float32)  # torch: (in, out, kh, kw)
+    b = rng.normal(size=(3,)).astype(np.float32)
+
+    tconv = torch.nn.ConvTranspose2d(3, 3, 4, 2, 1)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(w))
+        tconv.bias.copy_(torch.from_numpy(b))
+        t_out = tconv(torch.from_numpy(x)).numpy()
+
+    ct = ConvTranspose2d(3, 3, 4, 2, 1)
+    # torch ConvTranspose2d computes a true transposed conv: kernel is
+    # spatially flipped relative to jax's conv_transpose(transpose_kernel=
+    # False) correlation. Map: HWIO with flipped spatial dims.
+    wj = w.transpose(2, 3, 0, 1)[::-1, ::-1]  # (kh, kw, in, out), flipped
+    p = {"w": jnp.asarray(wj.copy()), "b": jnp.asarray(b)}
+    j_out = np.asarray(ct(p, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(j_out.transpose(0, 3, 1, 2), t_out, atol=1e-4)
+
+
+def test_groupnorm_against_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 8, 4, 4)).astype(np.float32)  # NCHW
+    tgn = torch.nn.GroupNorm(4, 8)
+    with torch.no_grad():
+        tgn.weight.copy_(torch.linspace(0.5, 1.5, 8))
+        tgn.bias.copy_(torch.linspace(-1, 1, 8))
+        t_out = tgn(torch.from_numpy(x)).numpy()
+    gn = GroupNorm(4, 8)
+    p = {"scale": jnp.linspace(0.5, 1.5, 8), "bias": jnp.linspace(-1, 1, 8)}
+    j_out = np.asarray(gn(p, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(j_out.transpose(0, 3, 1, 2), t_out, atol=1e-4)
+
+
+def test_multihead_attention_against_torch():
+    torch = pytest.importorskip("torch")
+    d, h, L, B = 8, 2, 5, 2
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(B, L, d)).astype(np.float32)
+
+    tmha = torch.nn.MultiheadAttention(d, h, batch_first=True)
+    sd = tmha.state_dict()
+    with torch.no_grad():
+        t_out, _ = tmha(torch.from_numpy(x), torch.from_numpy(x), torch.from_numpy(x))
+    t_out = t_out.detach().numpy()
+
+    in_w = sd["in_proj_weight"].numpy()  # (3d, d)
+    in_b = sd["in_proj_bias"].numpy()
+    out_w = sd["out_proj.weight"].numpy()
+    out_b = sd["out_proj.bias"].numpy()
+
+    mha = MultiheadAttention(d, h)
+    p = {
+        "wq": jnp.asarray(in_w[:d].T), "bq": jnp.asarray(in_b[:d]),
+        "wk": jnp.asarray(in_w[d:2*d].T), "bk": jnp.asarray(in_b[d:2*d]),
+        "wv": jnp.asarray(in_w[2*d:].T), "bv": jnp.asarray(in_b[2*d:]),
+        "wo": jnp.asarray(out_w.T), "bo": jnp.asarray(out_b),
+    }
+    j_out = np.asarray(mha(p, jnp.asarray(x)))
+    np.testing.assert_allclose(j_out, t_out, atol=1e-4)
+
+
+def test_batchnorm_training_stats():
+    bn = BatchNorm(4)
+    p = bn.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 3, 4)) * 5 + 2
+    out = np.asarray(bn(p, x))
+    np.testing.assert_allclose(out.mean(axis=(0, 1, 2)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(out.std(axis=(0, 1, 2)), 1.0, atol=1e-2)
+
+
+def test_zero_init_conv():
+    c = Conv2d(4, 4, 1, zero_init=True)
+    p = c.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 3, 4))
+    assert float(jnp.abs(c(p, x)).max()) == 0.0

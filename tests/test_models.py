@@ -1,0 +1,258 @@
+"""Model-level property tests on tiny configs (SURVEY.md §4: shape/dtype
+contracts, zero-conv identity, EDM boundary condition, EMA math)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlnet_tpu.models.consistency import ConsistencyControlNet, ConsistencyDistilled
+from controlnet_tpu.models.controlnet import ControlNet
+from controlnet_tpu.models.discriminator import Discriminator
+from controlnet_tpu.models.dmd import (
+    DistributionMatchingControlNet,
+    DistributionMatchingDistilled,
+    FeatureExtractor,
+)
+from controlnet_tpu.models.lpips import LPIPS
+from controlnet_tpu.models.unet import UNet
+from controlnet_tpu.models.vae import VAE
+
+
+@pytest.fixture(scope="module")
+def unet_and_params(tiny_model_config):
+    u = UNet(1, tiny_model_config)
+    p = u.init(jax.random.PRNGKey(0))
+    return u, p
+
+
+def test_unet_forward_shape(unet_and_params):
+    u, p = unet_and_params
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    out = jax.jit(lambda p, x, t: u(p, x, t))(p, x, jnp.array([3, 7]))
+    assert out.shape == (2, 8, 8, 1)
+    assert jnp.all(jnp.isfinite(out))
+
+
+def test_unet_encoder_only_variant(tiny_model_config):
+    """use_up=False drops the decoder (unet_base.py:332) — used by the
+    ControlNet control copy."""
+    u = UNet(1, tiny_model_config, use_up=False)
+    p = u.init(jax.random.PRNGKey(0))
+    assert "ups" not in p and "conv_out" not in p
+
+
+def test_controlnet_zero_conv_identity(tiny_model_config, unet_and_params):
+    """THE defining ControlNet property: at init (zero convs all zero),
+    ControlNet(x, t, hint) == base UNet(x, t) exactly
+    (controlnet.py:85-107)."""
+    u, p = unet_and_params
+    cn = ControlNet(1, tiny_model_config)
+    cp = cn.init(jax.random.PRNGKey(1), trained_unet_params=p)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1))
+    t = jnp.array([5, 9])
+    hint = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 3))
+
+    @jax.jit
+    def both(p, cp, x, t, hint):
+        return u(p, x, t), cn(cp, x, t, hint)
+
+    out, cout = both(p, cp, x, t, hint)
+    np.testing.assert_allclose(np.asarray(cout), np.asarray(out), atol=1e-6)
+
+
+def test_controlnet_split_merge_roundtrip(tiny_model_config):
+    cn = ControlNet(1, tiny_model_config)
+    cp = cn.init(jax.random.PRNGKey(0))
+    tr, fr = cn.split_params(cp)
+    merged = cn.merge_params(tr, fr)
+    assert jax.tree.all(jax.tree.map(lambda a, b: (a == b).all(), merged, cp))
+    # unlocked: decoder moves to the trainable side (controlnet.py:152-155)
+    cn_u = ControlNet(1, tiny_model_config, model_locked=False)
+    cp2 = cn_u.init(jax.random.PRNGKey(0))
+    tr2, fr2 = cn_u.split_params(cp2)
+    assert "ups" in tr2["trained_unet"] and "ups" not in fr2["trained_unet"]
+
+
+def test_controlnet_hint_changes_output(tiny_model_config):
+    """After perturbing the zero convs, the hint must influence the output."""
+    cn = ControlNet(1, tiny_model_config)
+    cp = cn.init(jax.random.PRNGKey(0))
+    cp["down_zero"] = [
+        jax.tree.map(lambda a: a + 0.05, z) for z in cp["down_zero"]
+    ]
+    cp["hint_block"]["layers"][-1]["w"] = (
+        cp["hint_block"]["layers"][-1]["w"] + 0.05
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 1))
+    t = jnp.array([5])
+    h1 = jnp.zeros((1, 8, 8, 3))
+    h2 = jnp.ones((1, 8, 8, 3))
+
+    @jax.jit
+    def f(cp, h):
+        return cn(cp, x, t, h)
+
+    assert float(jnp.abs(f(cp, h1) - f(cp, h2)).max()) > 1e-6
+
+
+def test_ldm_controlnet_dynamic_hint_block(tiny_model_config):
+    """down_sample_factor=4: hint at 32x32 must reach the 8x8 latent grid
+    (controlnet_ldm.py:45-79)."""
+    cn = ControlNet(1, tiny_model_config, down_sample_factor=4)
+    cp = cn.init(jax.random.PRNGKey(0))
+    hint = jnp.zeros((2, 32, 32, 3))
+    out = jax.jit(lambda p, h: cn.hint_block(p, h))(cp["hint_block"], hint)
+    assert out.shape == (2, 8, 8, tiny_model_config["down_channels"][0])
+
+
+def test_vae_shapes_and_kl_finite(tiny_vae_config):
+    vae = VAE(3, tiny_vae_config)
+    p = vae.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+
+    @jax.jit
+    def run(p, x, key):
+        recon, enc = vae(p, x, key)
+        z, _ = vae.encode(p, x, key)
+        return recon, enc, z
+
+    recon, enc, z = run(p, x, jax.random.PRNGKey(2))
+    assert recon.shape == x.shape
+    # encoder output is mean||logvar at z resolution (8 -> 4 with one downsample)
+    assert enc.shape == (2, 4, 4, 2 * tiny_vae_config["z_channels"])
+    assert z.shape == (2, 4, 4, tiny_vae_config["z_channels"])
+    assert jnp.all(jnp.isfinite(recon))
+
+
+def test_discriminator_patch_grid():
+    """256x256 -> 30x30 patch logits, matching the reference smoke test
+    (discriminator.py:44-47) — checked at 64x64 -> 6x6 for speed."""
+    d = Discriminator(im_channels=3)
+    p = d.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    out = jax.jit(lambda p, x: d(p, x))(p, x)
+    assert out.shape == (2, 6, 6, 1)
+
+
+def test_consistency_boundary_condition(tiny_model_config):
+    """f(x, sigma <= sigma_min) = x (consistency_controlnet_distilled.py:81)."""
+    m = ConsistencyControlNet(1, tiny_model_config)
+    p = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    hint = jnp.zeros((2, 8, 8, 3))
+    sigma = jnp.full((2,), tiny_model_config["sigma_min"])
+    out = jax.jit(lambda p, x, s, h: m(p, x, s, h))(p, x, sigma, hint)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_consistency_edm_scalings(tiny_model_config):
+    m = ConsistencyControlNet(1, tiny_model_config)
+    sd = tiny_model_config["sigma_data"]
+    s = jnp.array(2.0)
+    np.testing.assert_allclose(float(m.c_skip(s)), sd**2 / (4 + sd**2), rtol=1e-5)
+    np.testing.assert_allclose(float(m.c_out(s)), 2 * sd / np.sqrt(4 + sd**2), rtol=1e-5)
+    np.testing.assert_allclose(float(m.c_in(s)), 1 / np.sqrt(4 + sd**2), rtol=1e-5)
+    np.testing.assert_allclose(float(m.c_noise(s)), 0.25 * np.log(2.0), rtol=1e-5)
+    # c_skip^2 consistency: boundary behavior as sigma -> 0
+    assert float(m.c_skip(jnp.array(1e-6))) > 0.99
+    assert abs(float(m.c_out(jnp.array(1e-6)))) < 1e-5
+
+
+def test_consistency_ema_update(tiny_model_config):
+    model = ConsistencyDistilled(1, tiny_model_config, use_ddpm_teacher=False)
+    p = model.init(jax.random.PRNGKey(0))
+    p2 = {**p, "student": jax.tree.map(lambda a: a + 1.0, p["student"])}
+    p3 = model.update_ema(p2)
+    # ema' = 0.995*ema + 0.005*(ema+1) = ema + 0.005
+    diff = jax.tree.map(lambda n, o: n - o, p3["ema_teacher"], p["ema_teacher"])
+    leaves = jax.tree.leaves(diff)
+    for leaf in leaves:
+        np.testing.assert_allclose(np.asarray(leaf), 0.005, atol=1e-5)
+
+
+def test_dmd_student_and_losses(tiny_model_config):
+    student = DistributionMatchingControlNet(1, tiny_model_config)
+    sp = student.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    hint = jnp.zeros((2, 8, 8, 3))
+    out = jax.jit(lambda p, x, t, h: student(p, x, t, h))(sp, x, jnp.array([5, 9]), hint)
+    assert out.shape == x.shape
+
+    model = DistributionMatchingDistilled(1, tiny_model_config)
+    p = model.init(jax.random.PRNGKey(2))
+
+    @jax.jit
+    def losses(p, x):
+        x2 = x * 0.5
+        total, comps = model.true_distribution_matching_loss(p, x, x2)
+        same, _ = model.true_distribution_matching_loss(p, x, x)
+        w_same = model.wasserstein_distance_loss(x, x)
+        return total, same, w_same, comps
+
+    total, same, w_same, comps = losses(p, x)
+    assert float(total) > 0 and np.isfinite(float(total))
+    np.testing.assert_allclose(float(same), 0.0, atol=1e-5)
+    np.testing.assert_allclose(float(w_same), 0.0, atol=1e-7)
+    for v in comps.values():
+        assert np.isfinite(float(v))
+
+
+def test_dmd_distillation_loss_gradable(tiny_model_config):
+    """distillation_loss returns a finite, differentiable scalar
+    (reference smoke test: test_distribution_matching.py:89-105)."""
+    model = DistributionMatchingDistilled(1, tiny_model_config)
+    p = model.init(jax.random.PRNGKey(0))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    x_t = x0 + 0.1
+    hint = jnp.zeros((2, 8, 8, 3))
+    t = jnp.array([5, 9])
+
+    @jax.jit
+    def gradfn(student):
+        pp = {**p, "student": student}
+        total, *_ = model.distillation_loss(pp, x_t, t, hint, x0)
+        return total
+
+    g = jax.grad(gradfn)(p["student"])
+    gnorm = float(jnp.sqrt(sum(jnp.sum(a**2) for a in jax.tree.leaves(g))))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_dmd_feature_extractor_channels(tiny_model_config):
+    """32 base channels for grayscale, 64 for RGB
+    (distribution_matching_controlnet.py:22)."""
+    assert FeatureExtractor(1).base == 32
+    assert FeatureExtractor(3).base == 64
+    fe = FeatureExtractor(1)
+    p = fe.init(jax.random.PRNGKey(0))
+    feats = jax.jit(lambda p, x: fe(p, x))(p, jnp.zeros((2, 8, 8, 1)))
+    assert [f.shape for f in feats] == [
+        (2, 8, 8, 32), (2, 4, 4, 64), (2, 2, 2, 128), (2, 1, 1, 256)]
+
+
+def test_dmd_vs_controlnet_param_ratio(tiny_model_config):
+    """Student/teacher-control-branch capacity stays comparable
+    (reference test_distribution_matching.py:111-145 warns outside
+    [0.9, 1.1]; we assert a loose envelope)."""
+    cn = ControlNet(1, tiny_model_config)
+    st = DistributionMatchingControlNet(1, tiny_model_config)
+    n_cn = sum(a.size for a in jax.tree.leaves(cn.init(jax.random.PRNGKey(0))))
+    n_st = sum(a.size for a in jax.tree.leaves(st.init(jax.random.PRNGKey(0))))
+    assert 0.4 < n_st / n_cn < 1.1  # student ~= one UNet; ControlNet ~= 1.6 UNets
+
+
+def test_lpips_basic_properties():
+    lp = LPIPS()
+    p = lp.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3), minval=-1, maxval=1)
+    y = jnp.clip(x + 0.3, -1, 1)
+
+    @jax.jit
+    def run(p, x, y):
+        return lp(p, x, x), lp(p, x, y)
+
+    d_same, d_diff = run(p, x, y)
+    assert d_same.shape == (2, 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-5)
+    assert float(jnp.mean(d_diff)) > 0

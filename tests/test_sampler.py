@@ -1,0 +1,42 @@
+"""On-device sampler tests: the whole loop in one lax.scan, trajectory
+stacked on device (vs reference per-step host round-trips,
+sample_ddpm.py:27-42)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controlnet_tpu.models.unet import UNet
+from controlnet_tpu.sample.ddpm import make_ddpm_sampler
+from controlnet_tpu.schedules.linear import make_linear_schedule
+
+
+def test_sampler_shapes_and_determinism(tiny_model_config):
+    T = 20
+    sched = make_linear_schedule(T, 1e-4, 0.02)
+    u = UNet(1, tiny_model_config)
+    p = u.init(jax.random.PRNGKey(0))
+    sampler = make_ddpm_sampler(lambda p, x, t: u(p, x, t), sched, (2, 8, 8, 1), record_every=5)
+
+    x0, traj = sampler(p, jax.random.PRNGKey(1))
+    assert x0.shape == (2, 8, 8, 1)
+    assert traj.shape == (T // 5, 2, 8, 8, 1)
+    assert np.all(np.abs(np.asarray(traj)) <= 1.0)  # clamped snapshots
+
+    # same key -> identical samples; different key -> different
+    x0b, _ = sampler(p, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(x0), np.asarray(x0b))
+    x0c, _ = sampler(p, jax.random.PRNGKey(2))
+    assert float(jnp.abs(x0 - x0c).max()) > 0
+
+
+def test_sampler_last_snapshot_is_final_state(tiny_model_config):
+    T = 10
+    sched = make_linear_schedule(T, 1e-4, 0.02)
+    u = UNet(1, tiny_model_config)
+    p = u.init(jax.random.PRNGKey(0))
+    sampler = make_ddpm_sampler(lambda p, x, t: u(p, x, t), sched, (1, 8, 8, 1))
+    x0, traj = sampler(p, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(
+        np.asarray(traj[-1]), np.clip(np.asarray(x0), -1, 1), atol=1e-6
+    )
