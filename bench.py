@@ -1,0 +1,120 @@
+"""Benchmark: MNIST DDPM 1000-step on-device ancestral sampling throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+* value: samples/sec/chip for the flagship pipeline — batch of 64 MNIST
+  28x28 images through the full 1000-step denoising loop (one lax.scan on
+  device, compile excluded via warmup).
+* vs_baseline: ratio against the PyTorch reference's sampler on the same
+  host (reference architecture re-timed via torch on CPU here — the only
+  hardware the reference can run on in this environment; per-step model
+  time extrapolated from a short run, per tools/compare_* methodology).
+  If torch or the reference timing fails, falls back to null.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_parallel_codegen_split_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+STEPS = int(os.environ.get("BENCH_STEPS", "1000"))
+
+
+def bench_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.expanduser("~"), ".cache", "controlnet_tpu_xla"),
+        )
+    except Exception:
+        pass
+
+    from controlnet_tpu.models.unet import UNet
+    from controlnet_tpu.sample.ddpm import make_ddpm_sampler
+    from controlnet_tpu.schedules.linear import make_linear_schedule
+
+    model_config = dict(
+        im_channels=1, im_size=28, hint_channels=3,
+        down_channels=[32, 64, 128, 256], mid_channels=[256, 256, 128],
+        down_sample=[True, True, False], time_emb_dim=128,
+        num_down_layers=2, num_mid_layers=2, num_up_layers=2, num_heads=4,
+    )
+    sched = make_linear_schedule(STEPS, 1e-4, 0.02)
+    unet = UNet(1, model_config)
+    params = unet.init(jax.random.PRNGKey(0))
+    shape = (BATCH, 28, 28, 1)
+    sampler = make_ddpm_sampler(lambda p, x, t: unet(p, x, t), sched, shape,
+                                record_every=STEPS)
+
+    # warmup / compile
+    jax.block_until_ready(sampler(params, jax.random.PRNGKey(1))[0])
+    t0 = time.time()
+    x0, _ = sampler(params, jax.random.PRNGKey(2))
+    jax.block_until_ready(x0)
+    dt = time.time() - t0
+    return BATCH / dt
+
+
+def bench_reference_torch() -> float | None:
+    """Reference UNet per-step time on this host's torch (CPU), extrapolated
+    to the full loop.  Imports the reference package read-only."""
+    try:
+        import torch
+
+        sys.path.insert(0, "/root/reference")
+        from models.unet_base import Unet  # reference code, imported read-only
+        from scheduler.linear_noise_scheduler import LinearNoiseScheduler
+
+        model_config = dict(
+            im_channels=1, im_size=28,
+            down_channels=[32, 64, 128, 256], mid_channels=[256, 256, 128],
+            down_sample=[True, True, False], time_emb_dim=128,
+            num_down_layers=2, num_mid_layers=2, num_up_layers=2, num_heads=4,
+        )
+        model = Unet(model_config).eval()
+        sched = LinearNoiseScheduler(STEPS, 1e-4, 0.02)
+        xt = torch.randn(BATCH, 1, 28, 28)
+        probe_steps = max(3, int(os.environ.get("BENCH_REF_STEPS", "5")))
+        with torch.no_grad():
+            # warmup
+            model(xt, torch.as_tensor(STEPS - 1))
+            t0 = time.time()
+            for i in range(STEPS - 1, STEPS - 1 - probe_steps, -1):
+                noise_pred = model(xt, torch.as_tensor(i))
+                xt, _ = sched.sample_prev_timestep(xt, noise_pred, torch.as_tensor(i))
+            dt = time.time() - t0
+        per_step = dt / probe_steps
+        total = per_step * STEPS
+        return BATCH / total
+    except Exception as e:  # pragma: no cover
+        print(f"# reference timing unavailable: {e}", file=sys.stderr)
+        return None
+    finally:
+        if "/root/reference" in sys.path:
+            sys.path.remove("/root/reference")
+
+
+def main():
+    ours = bench_ours()
+    ref = bench_reference_torch()
+    vs = (ours / ref) if ref else None
+    print(json.dumps({
+        "metric": f"MNIST DDPM {STEPS}-step sampling throughput (batch {BATCH})",
+        "value": round(ours, 4),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

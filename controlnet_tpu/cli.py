@@ -1,0 +1,99 @@
+"""Shared CLI plumbing for the tools/ entry points.
+
+Every tool mirrors the reference CLI surface (`python -m tools.<name>
+--config <yaml>`, tools/train_ddpm.py:102-107) but runs the TPU-native
+stack: jitted train steps, on-device samplers, orbax checkpoints, and
+data-parallel sharding over a jax Mesh when more than one device is
+visible.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def setup_jax() -> None:
+    """Persistent compilation cache (compiles are expensive; re-runs should
+    be instant) + NaN-safe defaults."""
+    # XLA CPU's parallel codegen can deadlock on low-core hosts; serialize it
+    # (harmless elsewhere — must be set before backend init).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_parallel_codegen_split_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+    cache_dir = os.environ.get(
+        "CONTROLNET_TPU_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "controlnet_tpu_xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def build_dataset(task_name: str, dataset_config: dict, split: str = "train",
+                  return_hints: bool = False):
+    """Dataset factory keyed by task_name, mirroring the per-tool dataset
+    selection blocks (e.g. tools/train_ddpm.py:41-46)."""
+    from controlnet_tpu.data.datasets import CelebDataset, CifarDataset, MnistDataset
+
+    if task_name == "mnist":
+        path = dataset_config["im_path"] if split == "train" else dataset_config["im_test_path"]
+        return MnistDataset(split, im_path=path, return_hints=return_hints)
+    if task_name == "cifar10":
+        path = dataset_config["im_path"] if split == "train" else dataset_config.get(
+            "im_test_path", dataset_config["im_path"])
+        return CifarDataset(split, im_path=path,
+                            download=dataset_config.get("download", False),
+                            return_hints=return_hints)
+    if task_name == "celebhq":
+        return CelebDataset(split, im_path=dataset_config["im_path"],
+                            im_size=dataset_config["im_size"],
+                            im_channels=dataset_config.get("im_channels", 3),
+                            return_hint=return_hints,
+                            canny_im_size=dataset_config.get("canny_im_size", 1024))
+    raise ValueError(f"Invalid dataset/task name: {task_name}")
+
+
+def mesh_or_none():
+    """Data-parallel mesh when >1 device is visible, else None."""
+    from controlnet_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) > 1:
+        return make_mesh()
+    return None
+
+
+def put_batch(batch, mesh):
+    if mesh is None:
+        return jax.tree.map(jnp.asarray, batch)
+    from controlnet_tpu.parallel.mesh import shard_batch
+
+    return shard_batch(batch, mesh)
+
+
+def put_replicated(tree, mesh):
+    if mesh is None:
+        return tree
+    from controlnet_tpu.parallel.mesh import replicate
+
+    return replicate(tree, mesh)
+
+
+class EpochTimer:
+    def __init__(self):
+        self.t0 = time.time()
+        self.losses: list[float] = []
+
+    def add(self, loss) -> None:
+        self.losses.append(float(loss))
+
+    def summary(self) -> str:
+        dt = time.time() - self.t0
+        mean = float(np.mean(self.losses)) if self.losses else float("nan")
+        return f"mean loss {mean:.4f} | {len(self.losses)} steps | {dt:.1f}s"

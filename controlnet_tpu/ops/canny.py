@@ -126,5 +126,5 @@ def canny_hints(images_01: jax.Array, low: int = 100, high: int = 200) -> jax.Ar
     else:
         gray = images_01[..., 0]
     edges = canny_edges(jnp.round(gray * 255.0), low, high)
-    hint = edges / 255.0
+    hint = (edges > 0).astype(jnp.float32)  # exact {0, 1}
     return jnp.repeat(hint[..., None], 3, axis=-1)

@@ -11,15 +11,16 @@
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: tests never touch real chips
 
 import jax  # noqa: E402
 
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# XLA CPU's default conv/dot precision is reduced (bf16-level error); tests
+# check math parity, so force true float32 accumulation.
+jax.config.update("jax_default_matmul_precision", "float32")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,95 @@
+"""End-to-end CLI test: train a tiny DDPM with tools.train_ddpm, resume it,
+then sample with tools.sample_ddpm — synthetic data, tiny config, CPU
+(BASELINE.json configs[0]: "CPU-runnable")."""
+
+import glob
+import os
+import sys
+import types
+
+import pytest
+import yaml
+
+from controlnet_tpu.data.synthetic import make_synthetic_image_tree
+
+
+@pytest.fixture(scope="module")
+def tiny_workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_dir = root / "data"
+    make_synthetic_image_tree(str(data_dir / "train"), num_classes=2, per_class=8, size=8)
+    make_synthetic_image_tree(str(data_dir / "test"), num_classes=2, per_class=4, size=8)
+    config = {
+        "dataset_params": {
+            "task_name": "mnist",
+            "im_path": str(data_dir / "train"),
+            "im_test_path": str(data_dir / "test"),
+            "canny_im_size": 8,
+        },
+        "diffusion_params": {"num_timesteps": 8, "beta_start": 0.0001, "beta_end": 0.02},
+        "model_params": {
+            "im_channels": 1, "im_size": 8, "hint_channels": 3,
+            "down_channels": [8, 16, 16], "mid_channels": [16, 16],
+            "down_sample": [True, False], "time_emb_dim": 8,
+            "num_down_layers": 1, "num_mid_layers": 1, "num_up_layers": 1,
+            "num_heads": 2,
+        },
+        "train_params": {
+            "task_name": str(root / "task"), "batch_size": 8, "num_epochs": 1,
+            "controlnet_epochs": 1, "num_samples": 4, "num_grid_rows": 2,
+            "ddpm_lr": 0.001, "controlnet_lr": 0.001,
+            "ddpm_ckpt_name": "ddpm_ckpt.pth",
+            "controlnet_ckpt_name": "ddpm_controlnet_ckpt.pth",
+            "consistency_epochs": 1, "consistency_lr": 0.001,
+            "distribution_matching_epochs": 1, "distribution_matching_lr": 0.001,
+        },
+    }
+    cfg_path = root / "tiny.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+    return types.SimpleNamespace(root=root, config_path=str(cfg_path),
+                                 task=str(root / "task"))
+
+
+def test_train_then_resume_then_sample(tiny_workspace):
+    from tools.sample_ddpm import sample
+    from tools.train_ddpm import train
+
+    args = types.SimpleNamespace(config_path=tiny_workspace.config_path)
+    train(args)
+    from controlnet_tpu.io.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(tiny_workspace.task, "ddpm_ckpt.pth") == 1
+
+    # auto-resume: raising num_epochs trains one more epoch from the ckpt
+    with open(tiny_workspace.config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["train_params"]["num_epochs"] = 2
+    with open(tiny_workspace.config_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    train(args)
+    assert latest_checkpoint(tiny_workspace.task, "ddpm_ckpt.pth") == 2
+
+    sargs = types.SimpleNamespace(config_path=tiny_workspace.config_path,
+                                  num_samples=4, save_every=4, seed=0)
+    sample(sargs)
+    grids = glob.glob(os.path.join(tiny_workspace.task, "samples", "x0_*.png"))
+    assert len(grids) == 2  # 8 steps / save_every 4
+
+
+def test_controlnet_train_and_sample(tiny_workspace):
+    from tools.sample_ddpm_controlnet import sample
+    from tools.train_ddpm_controlnet import train
+
+    args = types.SimpleNamespace(config_path=tiny_workspace.config_path)
+    train(args)
+    from controlnet_tpu.io.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(tiny_workspace.task, "ddpm_controlnet_ckpt.pth") is not None
+
+    sargs = types.SimpleNamespace(config_path=tiny_workspace.config_path,
+                                  num_samples=4, save_every=8, seed=0)
+    sample(sargs)
+    out = os.path.join(tiny_workspace.task, "hint_samples")
+    assert os.path.exists(os.path.join(out, "hints.png"))
+    assert glob.glob(os.path.join(out, "x0_*.png"))

@@ -1,0 +1,94 @@
+"""Sample from the trained CelebA-HQ LDM ControlNet with full-res canny hints.
+
+CLI parity with reference tools/sample_ldm_controlnet.py: hints are canny
+edges of random full-resolution test images (hint resolution decoupled from
+latent resolution); the latent denoising loop + final VAE decode run on
+device; hint grid, per-step latent grids and the decoded grid are written
+at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import jax
+import numpy as np
+
+from controlnet_tpu import cli, config as cfg
+from controlnet_tpu.data.datasets import CelebDataset
+from controlnet_tpu.io.images import save_image_grid
+from controlnet_tpu.models.controlnet import ControlNet
+from controlnet_tpu.models.vae import VAE
+from controlnet_tpu.sample.ddpm import make_ldm_sampler
+from controlnet_tpu.schedules.linear import make_linear_schedule
+from tools.infer_vae import load_vae_params
+from tools.sample_ldm_vae import latent_size
+from tools.train_ddpm_controlnet import load_controlnet_params
+
+
+def sample(args):
+    cli.setup_jax()
+    config = cfg.load_config(args.config_path)
+    diffusion_config = cfg.diffusion_params(config)
+    dataset_config = cfg.dataset_params(config)
+    ldm_config = cfg.ldm_params(config)
+    autoencoder_config = cfg.autoencoder_params(config)
+    train_config = cfg.train_params(config)
+    task_name = train_config["task_name"]
+    z = autoencoder_config["z_channels"]
+
+    sched = make_linear_schedule(
+        diffusion_config["num_timesteps"], diffusion_config["beta_start"],
+        diffusion_config["beta_end"], ldm_scheduler=True,
+    )
+    lsize = latent_size(dataset_config, autoencoder_config)
+    down_sample_factor = dataset_config["canny_im_size"] // lsize
+    cn = ControlNet(z, ldm_config, model_locked=True, down_sample_factor=down_sample_factor)
+    params = load_controlnet_params(task_name, train_config["controlnet_ckpt_name"], cn)
+    vae = VAE(dataset_config["im_channels"], autoencoder_config)
+    vae_params = load_vae_params(task_name, train_config, vae, dataset_config["im_channels"])
+
+    dataset = CelebDataset(
+        "test", im_path=dataset_config["im_path"], im_size=dataset_config["im_size"],
+        im_channels=dataset_config["im_channels"], return_hint=True,
+        canny_im_size=dataset_config["canny_im_size"],
+    )
+    num_samples = args.num_samples or train_config["num_samples"]
+    nrow = train_config["num_grid_rows"]
+    rng = random.Random(args.seed)
+    idxs = [rng.randint(0, len(dataset) - 1) for _ in range(num_samples)]
+    hints = np.stack([dataset[i][1] for i in idxs])
+
+    out_dir = os.path.join(task_name, "hint_samples")
+    os.makedirs(out_dir, exist_ok=True)
+    save_image_grid(hints, os.path.join(out_dir, "hints.png"), nrow=nrow)
+
+    shape = (num_samples, lsize, lsize, z)
+    record_every = max(1, args.save_every)
+    sampler = make_ldm_sampler(
+        lambda p, x, t, h: cn(p, x, t, h), lambda p, zz: vae.decode(p, zz),
+        sched, shape, record_every=record_every,
+    )
+    images, traj = sampler(params, vae_params, jax.random.PRNGKey(args.seed),
+                           jax.numpy.asarray(hints))
+    images = np.asarray(jax.device_get(images))
+    traj = np.asarray(jax.device_get(traj))
+
+    T = sched.num_timesteps
+    for k in range(traj.shape[0]):
+        t = T - 1 - (k * record_every + record_every - 1)
+        save_image_grid((traj[k][..., :1] + 1.0) / 2.0,
+                        os.path.join(out_dir, f"x0_{t}.png"), nrow=nrow)
+    save_image_grid((images + 1.0) / 2.0, os.path.join(out_dir, "final_decoded.png"), nrow=nrow)
+    print(f"Wrote hint grid + {traj.shape[0]} latent grids + decoded grid to {out_dir}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Arguments for ldm controlnet image generation")
+    parser.add_argument("--config", dest="config_path", default="config/celebhq.yaml", type=str)
+    parser.add_argument("--num_samples", type=int, default=None)
+    parser.add_argument("--save_every", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=0)
+    sample(parser.parse_args())

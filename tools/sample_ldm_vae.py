@@ -1,0 +1,98 @@
+"""Sample from the trained CelebA-HQ latent diffusion model.
+
+CLI parity with reference tools/sample_ldm_vae.py: the 1000-step loop runs
+in latent space; the VAE decodes only the final x0 (reference decodes at
+t==0, sample_ldm_vae.py:40-44).  Per-step latent grids (channel-0
+visualizations) and the final decoded image grid are written at the end
+from the on-device trajectory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+import optax
+
+from controlnet_tpu import cli, config as cfg
+from controlnet_tpu.io.checkpoint import restore_checkpoint
+from controlnet_tpu.io.images import save_image_grid
+from controlnet_tpu.models.unet import UNet
+from controlnet_tpu.models.vae import VAE
+from controlnet_tpu.sample.ddpm import make_ldm_sampler
+from controlnet_tpu.schedules.linear import make_linear_schedule
+from controlnet_tpu.train.state import create_train_state
+from tools.infer_vae import load_vae_params
+
+
+def latent_size(dataset_config: dict, autoencoder_config: dict) -> int:
+    n_down = sum(bool(d) for d in autoencoder_config["down_sample"])
+    return dataset_config["im_size"] // (2**n_down)
+
+
+def load_ldm_params(task_name: str, ckpt_name: str, unet: UNet):
+    template = create_train_state(unet.init(jax.random.PRNGKey(0)), optax.adam(1e-4))
+    restored = restore_checkpoint(task_name, ckpt_name, template)
+    if restored is None:
+        raise FileNotFoundError("LDM checkpoint not found — run tools.train_ldm_vae first")
+    state, step = restored
+    print(f"Loaded LDM checkpoint at epoch {step}")
+    return state.params
+
+
+def sample(args):
+    cli.setup_jax()
+    config = cfg.load_config(args.config_path)
+    diffusion_config = cfg.diffusion_params(config)
+    dataset_config = cfg.dataset_params(config)
+    ldm_config = cfg.ldm_params(config)
+    autoencoder_config = cfg.autoencoder_params(config)
+    train_config = cfg.train_params(config)
+    task_name = train_config["task_name"]
+    z = autoencoder_config["z_channels"]
+
+    sched = make_linear_schedule(
+        diffusion_config["num_timesteps"], diffusion_config["beta_start"],
+        diffusion_config["beta_end"], ldm_scheduler=True,
+    )
+    unet = UNet(z, ldm_config)
+    unet_params = load_ldm_params(task_name, train_config["ldm_ckpt_name"], unet)
+    vae = VAE(dataset_config["im_channels"], autoencoder_config)
+    vae_params = load_vae_params(task_name, train_config, vae, dataset_config["im_channels"])
+
+    num_samples = args.num_samples or train_config["num_samples"]
+    nrow = train_config["num_grid_rows"]
+    lsize = latent_size(dataset_config, autoencoder_config)
+    shape = (num_samples, lsize, lsize, z)
+
+    record_every = max(1, args.save_every)
+    sampler = make_ldm_sampler(
+        lambda p, x, t: unet(p, x, t), lambda p, zz: vae.decode(p, zz),
+        sched, shape, record_every=record_every,
+    )
+    images, traj = sampler(unet_params, vae_params, jax.random.PRNGKey(args.seed))
+    images = np.asarray(jax.device_get(images))
+    traj = np.asarray(jax.device_get(traj))
+
+    out_dir = os.path.join(task_name, "samples")
+    os.makedirs(out_dir, exist_ok=True)
+    T = sched.num_timesteps
+    for k in range(traj.shape[0]):
+        t = T - 1 - (k * record_every + record_every - 1)
+        # latent channel-0 visualization, normalized like the reference's
+        # clamped latent grids
+        save_image_grid((traj[k][..., :1] + 1.0) / 2.0,
+                        os.path.join(out_dir, f"x0_{t}.png"), nrow=nrow)
+    save_image_grid((images + 1.0) / 2.0, os.path.join(out_dir, "final_decoded.png"), nrow=nrow)
+    print(f"Wrote {traj.shape[0]} latent grids + decoded grid to {out_dir}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Arguments for ldm image generation")
+    parser.add_argument("--config", dest="config_path", default="config/celebhq.yaml", type=str)
+    parser.add_argument("--num_samples", type=int, default=None)
+    parser.add_argument("--save_every", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=0)
+    sample(parser.parse_args())

@@ -1,0 +1,121 @@
+"""Fine-tune a canny-hint ControlNet on a trained DDPM.
+
+CLI parity with reference tools/train_ddpm_controlnet.py:
+    python -m tools.train_ddpm_controlnet --config config/mnist.yaml
+
+Requires a trained DDPM checkpoint (ddpm_ckpt_name); both the frozen trunk
+and the control copy start from it (reference controlnet.py:27-65).  Only
+the control branch + hint block + zero convs are optimized
+(train_ddpm_controlnet.py:76 via get_params); here that is structural — the
+frozen tree is never differentiated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import optax
+
+from controlnet_tpu import cli, config as cfg
+from controlnet_tpu.data.datasets import iterate_batches
+from controlnet_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from controlnet_tpu.models.controlnet import ControlNet
+from controlnet_tpu.models.unet import UNet
+from controlnet_tpu.schedules.linear import make_linear_schedule
+from controlnet_tpu.train.loops import make_controlnet_train_step
+from controlnet_tpu.train.state import create_train_state
+from tools.sample_ddpm import load_unet_params
+
+
+def train(args):
+    cli.setup_jax()
+    config = cfg.load_config(args.config_path)
+    print(config)
+    diffusion_config = cfg.diffusion_params(config)
+    dataset_config = cfg.dataset_params(config)
+    model_config = cfg.model_params(config)
+    train_config = cfg.train_params(config)
+    task_name = train_config["task_name"]
+
+    sched = make_linear_schedule(
+        diffusion_config["num_timesteps"],
+        diffusion_config["beta_start"],
+        diffusion_config["beta_end"],
+    )
+    dataset = cli.build_dataset(task_name, dataset_config, "train", return_hints=True)
+
+    cn = ControlNet(model_config["im_channels"], model_config, model_locked=True)
+    key = jax.random.PRNGKey(train_config.get("seed", 0))
+    key, init_key = jax.random.split(key)
+
+    # Base DDPM weights seed both trunks (controlnet.py:27-65).
+    unet = UNet(model_config["im_channels"], model_config)
+    trained_params = load_unet_params(task_name, train_config["ddpm_ckpt_name"], unet)
+    cn_params = cn.init(init_key, trained_unet_params=trained_params)
+    trainable, frozen = cn.split_params(cn_params)
+
+    tx = optax.adam(train_config["controlnet_lr"])
+    state = create_train_state(trainable, tx)
+
+    ckpt_name = train_config["controlnet_ckpt_name"]
+    restored = restore_checkpoint(task_name, ckpt_name, {"state": state, "frozen": frozen})
+    start_epoch = 0
+    if restored is not None:
+        tree, start_epoch = restored
+        state, frozen = tree["state"], tree["frozen"]
+        print(f"Resumed ControlNet from epoch {start_epoch}")
+
+    mesh = cli.mesh_or_none()
+    state = cli.put_replicated(state, mesh)
+    frozen = cli.put_replicated(frozen, mesh)
+    step = make_controlnet_train_step(cn, sched, tx)
+
+    num_epochs = train_config["controlnet_epochs"]
+    batch_size = train_config["batch_size"]
+    for epoch_idx in range(start_epoch, num_epochs):
+        timer = cli.EpochTimer()
+        key, shuffle_key = jax.random.split(key)
+        seed = int(jax.random.randint(shuffle_key, (), 0, 2**31 - 1))
+        for images, hints in iterate_batches(dataset, batch_size, shuffle=True, seed=seed):
+            key, step_key = jax.random.split(key)
+            images = cli.put_batch(images, mesh)
+            hints = cli.put_batch(hints, mesh)
+            state, loss = step(state, frozen, images, hints, step_key)
+            timer.add(loss)
+        print(f"Finished epoch:{epoch_idx + 1} | {timer.summary()}")
+        save_checkpoint(task_name, ckpt_name, epoch_idx + 1,
+                        jax.device_get({"state": state, "frozen": frozen}))
+    print("Done Training ...")
+
+
+def load_controlnet_params(task_name: str, ckpt_name: str, cn: ControlNet,
+                           fallback_unet_ckpt: str | None = None):
+    """Restore full ControlNet params from a ControlNet train checkpoint.
+
+    Mirrors the reference's prefix-aware loading (controlnet.py:31-138):
+    accepts a ControlNet checkpoint, or falls back to seeding from a raw
+    DDPM checkpoint when only that exists."""
+    import jax.numpy as jnp
+
+    trainable, frozen = cn.split_params(cn.init(jax.random.PRNGKey(0)))
+    tx = optax.adam(1e-4)
+    template = {"state": create_train_state(trainable, tx), "frozen": frozen}
+    restored = restore_checkpoint(task_name, ckpt_name, template)
+    if restored is not None:
+        tree, step = restored
+        print(f"Loaded ControlNet checkpoint at epoch {step}")
+        return cn.merge_params(tree["state"].params, tree["frozen"])
+    if fallback_unet_ckpt is not None:
+        unet = cn.unet
+        params = load_unet_params(task_name, fallback_unet_ckpt, unet)
+        print("ControlNet checkpoint missing; seeded from DDPM checkpoint")
+        return cn.init(jax.random.PRNGKey(0), trained_unet_params=params)
+    raise FileNotFoundError(f"no ControlNet checkpoint {ckpt_name} under {task_name}/")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Arguments for ddpm controlnet training")
+    parser.add_argument("--config", dest="config_path", default="config/mnist.yaml", type=str)
+    train(parser.parse_args())

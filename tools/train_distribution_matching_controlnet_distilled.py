@@ -1,0 +1,205 @@
+"""Distribution-matching distillation (DMD) of the DDPM ControlNet.
+
+CLI parity with reference
+tools/train_distribution_matching_controlnet_distilled.py (the most
+featureful trainer, :20-385): AdamW-style weight decay 1e-6, cosine LR
+annealing, gradient clipping at norm 1.0, 50% high-noise timestep bias,
+NaN-loss batch skip, per-epoch validation on 5 test batches, per-epoch
+student-vs-teacher sample grids at t in {50, 200, 500}, best-model
+tracking, metric history + matplotlib training-curve dump.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from controlnet_tpu import cli, config as cfg
+from controlnet_tpu.data.datasets import iterate_batches
+from controlnet_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from controlnet_tpu.io.images import save_image_grid
+from controlnet_tpu.models.dmd import DistributionMatchingDistilled
+from controlnet_tpu.schedules.linear import add_noise
+from controlnet_tpu.train.loops import make_dmd_train_step
+from controlnet_tpu.train.state import create_train_state
+from tools.train_ddpm_controlnet import load_controlnet_params
+
+CKPT_NAME = "distribution_matching_controlnet_distilled.pth"
+BEST_CKPT_NAME = "distribution_matching_controlnet_best.pth"
+
+
+def plot_training_curves(history: dict, out_path: str) -> None:
+    """Loss-curve PNG (reference plot_training_curves :340-378)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        print("matplotlib unavailable; skipping curves")
+        return
+    keys = [k for k in history if history[k]]
+    n = len(keys)
+    if n == 0:
+        return
+    cols = 2
+    rows = (n + 1) // 2
+    fig, axes = plt.subplots(rows, cols, figsize=(10, 3 * rows), squeeze=False)
+    for i, k in enumerate(keys):
+        ax = axes[i // cols][i % cols]
+        ax.plot(history[k])
+        ax.set_title(k)
+        ax.set_xlabel("epoch")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    print(f"Training curves saved to {out_path}")
+
+
+def train(args):
+    cli.setup_jax()
+    config = cfg.load_config(args.config_path)
+    print(config)
+    diffusion_config = cfg.diffusion_params(config)
+    dataset_config = cfg.dataset_params(config)
+    model_config = cfg.model_params(config)
+    train_config = cfg.train_params(config)
+    task_name = train_config["task_name"]
+    im_channels = model_config["im_channels"]
+
+    train_ds = cli.build_dataset(task_name, dataset_config, "train", return_hints=True)
+    val_ds = cli.build_dataset(task_name, dataset_config, "test", return_hints=True)
+
+    model = DistributionMatchingDistilled(im_channels, model_config,
+                                          num_timesteps=diffusion_config["num_timesteps"])
+    key = jax.random.PRNGKey(train_config.get("seed", 0))
+    key, init_key = jax.random.split(key)
+    teacher_params = load_controlnet_params(task_name, train_config["controlnet_ckpt_name"],
+                                            model.teacher)
+    p = model.init(init_key, teacher_params=teacher_params)
+
+    num_epochs = train_config.get("distribution_matching_epochs", 20)
+    batch_size = train_config["batch_size"]
+    steps_per_epoch = max(1, len(train_ds) // batch_size)
+    lr = train_config.get("distribution_matching_lr", 5e-5)
+    # Adam + weight decay 1e-6 + cosine annealing + clip 1.0 (:43-51, 189)
+    schedule = optax.cosine_decay_schedule(lr, num_epochs * steps_per_epoch)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, weight_decay=1e-6),
+    )
+    state = create_train_state(p["student"], tx)
+
+    restored = restore_checkpoint(task_name, CKPT_NAME, {"state": state})
+    start_epoch = 0
+    if restored is not None:
+        tree, start_epoch = restored
+        state = tree["state"]
+        print(f"Resumed DMD training from epoch {start_epoch}")
+
+    mesh = cli.mesh_or_none()
+    state = cli.put_replicated(state, mesh)
+    teacher = cli.put_replicated(p["teacher"], mesh)
+    features = cli.put_replicated(p["features"], mesh)
+    step = make_dmd_train_step(model, tx)
+
+    @jax.jit
+    def val_loss(student, x0, hint, key):
+        kt, kn = jax.random.split(key)
+        b = x0.shape[0]
+        t = jax.random.randint(kt, (b,), 0, model.teacher_schedule.num_timesteps)
+        noise = jax.random.normal(kn, x0.shape)
+        x_t = add_noise(model.teacher_schedule, x0, noise, t)
+        pp = {"student": student, "teacher": teacher, "features": features}
+        total, *_ = model.distillation_loss(pp, x_t, t, hint, x0)
+        return total
+
+    @jax.jit
+    def predict_pair(student, x0, hint, t_scalar, key):
+        b = x0.shape[0]
+        t = jnp.full((b,), t_scalar, jnp.int32)
+        noise = jax.random.normal(key, x0.shape)
+        x_t = add_noise(model.teacher_schedule, x0, noise, t)
+        pp = {"student": student, "teacher": teacher, "features": features}
+        x0_student = model.student(pp["student"], x_t, t, hint)
+        x0_teacher = model.teacher_prediction(pp, x_t, t, hint)
+        return x0_student, x0_teacher
+
+    history: dict[str, list[float]] = defaultdict(list)
+    best_val = float("inf")
+    sample_dir = os.path.join(task_name, "dmd_training_samples")
+
+    for epoch_idx in range(start_epoch, num_epochs):
+        # ---- train epoch (:143-204) ----
+        epoch_metrics: dict[str, list[float]] = defaultdict(list)
+        key, shuffle_key = jax.random.split(key)
+        seed = int(jax.random.randint(shuffle_key, (), 0, 2**31 - 1))
+        for x0, hint in iterate_batches(train_ds, batch_size, shuffle=True, seed=seed):
+            key, step_key = jax.random.split(key)
+            x0 = cli.put_batch(x0, mesh)
+            hint = cli.put_batch(hint, mesh)
+            state, metrics = step(state, teacher, features, x0, hint, step_key)
+            for k_, v in metrics.items():
+                epoch_metrics[k_].append(float(v))
+
+        # ---- validation on 5 test batches (:84-86) ----
+        val_losses = []
+        for i, (x0, hint) in enumerate(iterate_batches(val_ds, batch_size, shuffle=True,
+                                                       seed=epoch_idx)):
+            if i >= 5:
+                break
+            key, vkey = jax.random.split(key)
+            val_losses.append(float(val_loss(state.params, cli.put_batch(x0, mesh),
+                                             cli.put_batch(hint, mesh), vkey)))
+        val_mean = float(np.mean(val_losses)) if val_losses else float("nan")
+
+        means = {k_: float(np.mean(v)) for k_, v in epoch_metrics.items()}
+        for k_, v in means.items():
+            history[f"train_{k_}"].append(v)
+        history["val_loss"].append(val_mean)
+        skipped = int(sum(epoch_metrics.get("skipped", [])))
+        print(f"Epoch {epoch_idx + 1}/{num_epochs} | total {means.get('total_loss', float('nan')):.4f} "
+              f"| dist {means.get('dist_matching_loss', float('nan')):.4f} "
+              f"| teacher {means.get('teacher_loss', float('nan')):.4f} "
+              f"| grad {means.get('grad_norm', float('nan')):.3f} "
+              f"| val {val_mean:.4f} | skipped {skipped}")
+
+        # ---- student-vs-teacher sample grids at t in {50,200,500} (:91-141) ----
+        if not args.no_plots:
+            x0, hint = next(iterate_batches(val_ds, min(4, batch_size), shuffle=True,
+                                            seed=epoch_idx))
+            rows = [np.asarray((x0 + 1) / 2)]
+            for t_val in (50, 200, 500):
+                key, pkey = jax.random.split(key)
+                s_pred, t_pred = predict_pair(state.params, cli.put_batch(x0, mesh),
+                                              cli.put_batch(hint, mesh), t_val, pkey)
+                rows.append(np.clip((np.asarray(s_pred) + 1) / 2, 0, 1))
+                rows.append(np.clip((np.asarray(t_pred) + 1) / 2, 0, 1))
+            grid = np.concatenate(rows)
+            save_image_grid(grid, os.path.join(
+                sample_dir, f"epoch_{epoch_idx + 1:03d}_comparison.png"), nrow=x0.shape[0])
+
+        # ---- checkpoints incl. best-model tracking (:260-274) ----
+        save_checkpoint(task_name, CKPT_NAME, epoch_idx + 1,
+                        jax.device_get({"state": state}))
+        if val_mean < best_val:
+            best_val = val_mean
+            save_checkpoint(task_name, BEST_CKPT_NAME, epoch_idx + 1,
+                            jax.device_get({"state": state}))
+            print(f"New best model (val {best_val:.4f})")
+
+    plot_training_curves(history, os.path.join(task_name, "dmd_training_curves.png"))
+    print("DMD distillation training completed!")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Train Distilled Distribution Matching ControlNet")
+    parser.add_argument("--config", dest="config_path", default="config/mnist.yaml", type=str)
+    parser.add_argument("--no_plots", action="store_true")
+    train(parser.parse_args())

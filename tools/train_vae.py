@@ -1,0 +1,157 @@
+"""Train the KL-VAE with LPIPS + PatchGAN adversarial losses (CelebA-HQ).
+
+CLI parity with reference tools/train_vae.py:
+    python -m tools.train_vae --config config/celebhq.yaml
+
+Loop semantics (train_vae.py:87-204): two Adams with betas=(0.5, 0.999);
+discriminator enabled after disc_start steps; generator loss = recon MSE +
+kl_weight*KL + disc_weight*fool (post disc_start) + perceptual_weight*LPIPS;
+gradient accumulation via optax.MultiSteps (autoencoder_acc_steps);
+periodic input/recon grid dumps; per-epoch checkpoints of both nets.
+
+Here both phases compile into ONE jitted step (the disc branch is a weight
+mask), and the trailing per-epoch optimizer flush of the reference
+(train_vae.py:182-185) is not reproduced — with MultiSteps the partial
+accumulation window simply carries into the next epoch (deviation
+documented per SURVEY.md §7 hard-part 3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from controlnet_tpu import cli, config as cfg
+from controlnet_tpu.data.datasets import iterate_batches
+from controlnet_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from controlnet_tpu.io.images import save_image_grid
+from controlnet_tpu.models.discriminator import Discriminator
+from controlnet_tpu.models.lpips import LPIPS, default_weights_path, load_torch_weights
+from controlnet_tpu.models.vae import VAE
+from controlnet_tpu.train.loops import make_vae_gan_train_step
+from controlnet_tpu.train.state import create_train_state
+
+
+def build_lpips(key):
+    """LPIPS with pretrained torch weights when available (reference needs
+    models/weights/v0.1/vgg.pth, lpips.py:92-96), else documented
+    random-feature fallback."""
+    lp = LPIPS()
+    params = lp.init(key)
+    path = default_weights_path()
+    if os.path.exists(path):
+        try:
+            params, found_vgg = load_torch_weights(params, path)
+            print(f"LPIPS weights loaded from {path} (vgg features: {found_vgg})")
+        except Exception as e:  # pragma: no cover
+            print(f"LPIPS weight import failed ({e}); using random features")
+    else:
+        print("LPIPS: no pretrained weights found; using frozen random features")
+    return lp, params
+
+
+def train(args):
+    cli.setup_jax()
+    config = cfg.load_config(args.config_path)
+    print(config)
+    dataset_config = cfg.dataset_params(config)
+    autoencoder_config = cfg.autoencoder_params(config)
+    train_config = cfg.train_params(config)
+    task_name = train_config["task_name"]
+    im_channels = dataset_config["im_channels"]
+
+    key = jax.random.PRNGKey(train_config.get("seed", 1111))
+
+    vae = VAE(im_channels, autoencoder_config)
+    disc = Discriminator(im_channels=im_channels)
+    key, k1, k2, k3 = jax.random.split(key, 4)
+    lp, lpips_params = build_lpips(k3)
+
+    dataset = cli.build_dataset("celebhq", dataset_config, "train", return_hints=False)
+
+    acc_steps = train_config["autoencoder_acc_steps"]
+    base_g = optax.adam(train_config["autoencoder_lr"], b1=0.5, b2=0.999)
+    base_d = optax.adam(train_config["autoencoder_lr"], b1=0.5, b2=0.999)
+    tx_g = optax.MultiSteps(base_g, acc_steps) if acc_steps > 1 else base_g
+    tx_d = optax.MultiSteps(base_d, acc_steps) if acc_steps > 1 else base_d
+
+    g_state = create_train_state(vae.init(k1), tx_g)
+    d_state = create_train_state(disc.init(k2), tx_d)
+
+    os.makedirs(task_name, exist_ok=True)
+    vae_ckpt = train_config["vae_autoencoder_ckpt_name"]
+    disc_ckpt = train_config["vae_discriminator_ckpt_name"]
+    start_epoch = 0
+    restored = restore_checkpoint(task_name, vae_ckpt, {"g": g_state, "d": d_state})
+    if restored is not None:
+        tree, start_epoch = restored
+        g_state, d_state = tree["g"], tree["d"]
+        print(f"Resumed VAE training from epoch {start_epoch}")
+
+    step = make_vae_gan_train_step(
+        vae, disc, lp, tx_g, tx_d,
+        disc_start=train_config["disc_start"],
+        disc_weight=train_config["disc_weight"],
+        kl_weight=train_config["kl_weight"],
+        perceptual_weight=train_config["perceptual_weight"],
+    )
+
+    mesh = cli.mesh_or_none()
+    g_state = cli.put_replicated(g_state, mesh)
+    d_state = cli.put_replicated(d_state, mesh)
+    lpips_params = cli.put_replicated(lpips_params, mesh)
+
+    recon_fn = jax.jit(lambda p, x, k: vae(p, x, k)[0])
+
+    image_save_steps = train_config["autoencoder_img_save_steps"]
+    img_save_count = 0
+    step_count = start_epoch * (len(dataset) // train_config["autoencoder_batch_size"])
+    num_epochs = train_config["autoencoder_epochs"]
+    for epoch_idx in range(start_epoch, num_epochs):
+        metrics_acc: dict[str, list[float]] = {}
+        key, shuffle_key = jax.random.split(key)
+        seed = int(jax.random.randint(shuffle_key, (), 0, 2**31 - 1))
+        for images in iterate_batches(dataset, train_config["autoencoder_batch_size"],
+                                      shuffle=True, seed=seed):
+            step_count += 1
+            key, step_key = jax.random.split(key)
+            batch = cli.put_batch(images, mesh)
+
+            if step_count % image_save_steps == 0 or step_count == 1:
+                n = min(8, images.shape[0])
+                recon = np.asarray(recon_fn(g_state.params, batch, step_key))[:n]
+                both = np.concatenate([(images[:n] + 1) / 2, np.clip((recon + 1) / 2, 0, 1)])
+                d = os.path.join(task_name, "vae_autoencoder_samples")
+                save_image_grid(both, os.path.join(
+                    d, f"current_autoencoder_sample_{img_save_count}.png"), nrow=n)
+                img_save_count += 1
+
+            g_state, d_state, m = step(g_state, d_state, lpips_params, batch,
+                                       step_key, jnp.int32(step_count))
+            for k_, v in m.items():
+                metrics_acc.setdefault(k_, []).append(float(v))
+
+        means = {k_: float(np.mean(v)) for k_, v in metrics_acc.items()}
+        if means.get("disc_loss", 0.0) > 0:
+            print("Finished epoch: {} | Recon Loss : {:.4f} | Perceptual Loss : {:.4f} | "
+                  "G Loss : {:.4f} | D Loss {:.4f}".format(
+                      epoch_idx + 1, means["recon_loss"], means["perceptual_loss"],
+                      means["gen_adv_loss"], means["disc_loss"]))
+        else:
+            print("Finished epoch: {} | Recon Loss : {:.4f} | Perceptual Loss : {:.4f}".format(
+                epoch_idx + 1, means["recon_loss"], means["perceptual_loss"]))
+        save_checkpoint(task_name, vae_ckpt, epoch_idx + 1,
+                        jax.device_get({"g": g_state, "d": d_state}))
+        save_checkpoint(task_name, disc_ckpt, epoch_idx + 1, jax.device_get(d_state))
+    print("Done Training...")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Arguments for vae training")
+    parser.add_argument("--config", dest="config_path", default="config/celebhq.yaml", type=str)
+    train(parser.parse_args())
