@@ -38,9 +38,15 @@ def setup_jax() -> None:
 
 def build_dataset(task_name: str, dataset_config: dict, split: str = "train",
                   return_hints: bool = False):
-    """Dataset factory keyed by task_name, mirroring the per-tool dataset
-    selection blocks (e.g. tools/train_ddpm.py:41-46)."""
+    """Dataset factory keyed by task/dataset name, mirroring the per-tool
+    dataset selection blocks (e.g. tools/train_ddpm.py:41-46).
+
+    ``train_params.task_name`` doubles as the output directory and may be an
+    arbitrary path; the dataset KIND comes from ``dataset_params.task_name``
+    (or ``name`` in the celebhq schema) when present."""
     from controlnet_tpu.data.datasets import CelebDataset, CifarDataset, MnistDataset
+
+    task_name = dataset_config.get("task_name", dataset_config.get("name", task_name))
 
     if task_name == "mnist":
         path = dataset_config["im_path"] if split == "train" else dataset_config["im_test_path"]

@@ -42,9 +42,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_kv: int):
     o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """softmax(QK^T/sqrt(d))V. q: (B, H, Lq, D), k/v: (B, H, Lk, D)."""
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    """softmax(QK^T/sqrt(d))V. q: (B, H, Lq, D), k/v: (B, H, Lk, D).
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) —
+    used by tests to validate the kernel math without TPU hardware."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     scale = 1.0 / (d**0.5)
@@ -71,6 +75,7 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
             pl.BlockSpec((1, lk_p, d_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, lq_p, d_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * (b * h) * (lq_p * lk_p * d_p + lq_p * lk_p * d_p),
             bytes_accessed=(b * h) * (lq_p + 2 * lk_p + lq_p) * d_p * 4,

@@ -28,6 +28,7 @@ def make_ddpm_sampler(
     sched: LinearSchedule,
     shape: tuple[int, ...],
     record_every: int = 1,
+    compute_dtype=None,
 ):
     """Build a jitted sampler.
 
@@ -37,6 +38,10 @@ def make_ddpm_sampler(
     trajectory is (T//record_every, B, H, W, C) of clamped x_t snapshots
     (newest last), matching the reference's per-step "x0_*.png" artifact
     content (sample_ddpm.py:27-42).
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) casts the model input so the UNet
+    runs in reduced precision (layers accumulate matmuls/convs in f32);
+    the scheduler update itself always runs in float32.
     """
     T = sched.num_timesteps
     assert T % record_every == 0
@@ -45,16 +50,19 @@ def make_ddpm_sampler(
         k0, key = jax.random.split(key)
         xt = jax.random.normal(k0, shape, jnp.float32)
         b = shape[0]
+        hint_c = hint if (hint is None or compute_dtype is None) else hint.astype(compute_dtype)
 
         def body(carry, i):
             xt, key = carry
             t = T - 1 - i
             key, kstep = jax.random.split(key)
             t_batch = jnp.full((b,), t, jnp.int32)
+            x_in = xt if compute_dtype is None else xt.astype(compute_dtype)
             if hint is None:
-                noise_pred = eps_fn(params, xt, t_batch)
+                noise_pred = eps_fn(params, x_in, t_batch)
             else:
-                noise_pred = eps_fn(params, xt, t_batch, hint)
+                noise_pred = eps_fn(params, x_in, t_batch, hint_c)
+            noise_pred = noise_pred.astype(jnp.float32)
             xt_next, x0 = sample_prev_timestep(sched, xt, noise_pred, t, kstep)
             snap = jnp.clip(xt_next, -1.0, 1.0)
             return (xt_next, key), snap

@@ -126,13 +126,14 @@ def test_vae_shapes_and_kl_finite(tiny_vae_config):
 
 
 def test_discriminator_patch_grid():
-    """256x256 -> 30x30 patch logits, matching the reference smoke test
-    (discriminator.py:44-47) — checked at 64x64 -> 6x6 for speed."""
+    """Patch-logit grid with torch shape semantics (strides 2,2,2,1 with
+    k=4,p=1): 64 -> 32 -> 16 -> 8 -> 7 (reference smoke test at 256 gives
+    31x31, discriminator.py:44-47) — checked at 64x64 for speed."""
     d = Discriminator(im_channels=3)
     p = d.init(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
     out = jax.jit(lambda p, x: d(p, x))(p, x)
-    assert out.shape == (2, 6, 6, 1)
+    assert out.shape == (2, 7, 7, 1)
 
 
 def test_consistency_boundary_condition(tiny_model_config):

@@ -1,0 +1,32 @@
+"""Pallas fused-attention kernel vs the XLA reference path, via the Pallas
+interpreter (no TPU needed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlnet_tpu.ops.attention import _split_heads, _xla_attention
+from controlnet_tpu.ops.pallas_attention import fused_attention
+
+
+@pytest.mark.parametrize("b,h,l,d", [(1, 2, 16, 8), (2, 2, 49, 16)])
+def test_fused_attention_matches_xla(b, h, l, d):
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (b, h, l, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, l, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, l, d), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    out = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_cross_lengths():
+    """Cross-attention shape: Lq != Lk (text conditioning path)."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(kq, (1, 2, 49, 8), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, 7, 8), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, 7, 8), jnp.float32)
+    ref = _xla_attention(q, k, v)
+    out = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
