@@ -53,8 +53,9 @@ def bench_ours() -> float:
     unet = UNet(1, model_config)
     params = unet.init(jax.random.PRNGKey(0))
     shape = (BATCH, 28, 28, 1)
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") == "1" else None
     sampler = make_ddpm_sampler(lambda p, x, t: unet(p, x, t), sched, shape,
-                                record_every=STEPS)
+                                record_every=STEPS, compute_dtype=dtype)
 
     # warmup / compile
     jax.block_until_ready(sampler(params, jax.random.PRNGKey(1))[0])
