@@ -80,6 +80,11 @@ def put_batch(batch, mesh):
         return jax.tree.map(jnp.asarray, batch)
     from controlnet_tpu.parallel.mesh import shard_batch
 
+    n_data = mesh.shape["data"]
+    leaves = jax.tree.leaves(batch)
+    if leaves and any(leaf.shape[0] % n_data != 0 for leaf in leaves):
+        # batch not divisible by the data axis — place unsharded
+        return jax.tree.map(jnp.asarray, batch)
     return shard_batch(batch, mesh)
 
 

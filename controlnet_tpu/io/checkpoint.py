@@ -60,3 +60,20 @@ def restore_checkpoint(ckpt_dir: str, name: str, target: Any, step: int | None =
     with ocp.StandardCheckpointer() as ckptr:
         tree = ckptr.restore(path, abstract)
     return tree, step
+
+
+def restore_checkpoint_raw(ckpt_dir: str, name: str, step: int | None = None) -> tuple[Any, int] | None:
+    """Restore with the ON-DISK tree structure (dicts/lists of numpy arrays,
+    NamedTuples materialized as dicts) — no template needed.
+
+    Samplers use this to pull just the params subtree out of a train-state
+    checkpoint without having to reconstruct the trainer's exact optimizer
+    state structure."""
+    if step is None:
+        step = latest_checkpoint(ckpt_dir, name)
+        if step is None:
+            return None
+    path = os.path.join(_ckpt_root(ckpt_dir, name), str(step))
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    return tree, step

@@ -48,6 +48,9 @@ class UNet:
         self.norm_channels: int = mp.get("norm_channels", 8)
         self.num_heads: int = mp.get("num_heads", 4)
         self.conv_out_channels: int = mp.get("conv_out_channels", 16)
+        # Optional per-block rematerialization: trades recompute for HBM
+        # (jax.checkpoint), useful for the O(100M)-param CelebHQ LDM config.
+        self.remat: bool = bool(mp.get("remat", False))
         self.use_up = use_up
 
         cfg.validate_unet_model_params(mp)
@@ -183,22 +186,28 @@ class UNet:
             x = jnp.concatenate([x, im_cond], axis=-1)
         return self.conv_in(p["conv_in"], x)
 
+    def _block(self, blk):
+        """Apply jax.checkpoint per block when remat is enabled."""
+        if not self.remat:
+            return blk
+        return jax.checkpoint(lambda bp, *xs: blk(bp, *xs))
+
     def encode(self, p: Params, out: jax.Array, t_emb, context=None):
         """Run all down blocks, returning (out, skip list) — skips are the
         *inputs* to each down block (unet_base.py:354-358)."""
         down_outs = []
         for blk, bp in zip(self.downs, p["downs"]):
             down_outs.append(out)
-            out = blk(bp, out, t_emb, context)
+            out = self._block(blk)(bp, out, t_emb, context)
         return out, down_outs
 
     def mid_stage(self, p: Params, i: int, out: jax.Array, t_emb, context=None) -> jax.Array:
-        return self.mids[i](p["mids"][i], out, t_emb, context)
+        return self._block(self.mids[i])(p["mids"][i], out, t_emb, context)
 
     def decode(self, p: Params, out: jax.Array, down_outs: list, t_emb, context=None) -> jax.Array:
         for blk, bp in zip(self.ups, p["ups"]):
             skip = down_outs.pop()
-            out = blk(bp, out, skip, t_emb, context)
+            out = self._block(blk)(bp, out, skip, t_emb, context)
         out = silu(self.norm_out(p["norm_out"], out))
         return self.conv_out(p["conv_out"], out)
 

@@ -257,3 +257,27 @@ def test_lpips_basic_properties():
     assert d_same.shape == (2, 1, 1, 1)
     np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-5)
     assert float(jnp.mean(d_diff)) > 0
+
+
+def test_remat_matches_baseline(tiny_model_config):
+    """remat=True recomputes activations but must not change values or
+    gradients."""
+    mp = dict(tiny_model_config)
+    u0 = UNet(1, mp)
+    mp_r = dict(tiny_model_config, remat=True)
+    u1 = UNet(1, mp_r)
+    p = u0.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    t = jnp.array([3, 5])
+
+    @jax.jit
+    def both_loss_grads(p, x, t):
+        l0, g0 = jax.value_and_grad(lambda pp: jnp.sum(u0(pp, x, t) ** 2))(p)
+        l1, g1 = jax.value_and_grad(lambda pp: jnp.sum(u1(pp, x, t) ** 2))(p)
+        gdiff = jax.tree.reduce(
+            jnp.maximum, jax.tree.map(lambda a, b: jnp.abs(a - b).max(), g0, g1))
+        return l0, l1, gdiff
+
+    l0, l1, gdiff = both_loss_grads(p, x, t)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    assert float(gdiff) < 1e-4

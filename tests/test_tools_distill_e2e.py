@@ -1,0 +1,105 @@
+"""End-to-end distillation CLI tests: DDPM -> ControlNet -> consistency /
+DMD distillation -> 1-step sampling -> comparison harness, all on a tiny
+synthetic workspace (CPU)."""
+
+import glob
+import os
+import types
+
+import pytest
+import yaml
+
+from controlnet_tpu.data.synthetic import make_synthetic_image_tree
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    root = tmp_path_factory.mktemp("distill_e2e")
+    data_dir = root / "data"
+    make_synthetic_image_tree(str(data_dir / "train"), num_classes=2, per_class=8, size=8)
+    make_synthetic_image_tree(str(data_dir / "test"), num_classes=2, per_class=6, size=8)
+    config = {
+        "dataset_params": {
+            "task_name": "mnist",
+            "im_path": str(data_dir / "train"),
+            "im_test_path": str(data_dir / "test"),
+            "canny_im_size": 8,
+        },
+        "diffusion_params": {"num_timesteps": 8, "beta_start": 0.0001, "beta_end": 0.02},
+        "model_params": {
+            "im_channels": 1, "im_size": 8, "hint_channels": 3,
+            "down_channels": [8, 16, 16], "mid_channels": [16, 16],
+            "down_sample": [True, False], "time_emb_dim": 8,
+            "num_down_layers": 1, "num_mid_layers": 1, "num_up_layers": 1,
+            "num_heads": 2, "sigma_min": 0.002, "sigma_max": 5.0, "sigma_data": 0.5,
+        },
+        "train_params": {
+            "task_name": str(root / "task"), "batch_size": 8, "num_epochs": 1,
+            "controlnet_epochs": 1, "num_samples": 3, "num_grid_rows": 2,
+            "ddpm_lr": 0.001, "controlnet_lr": 0.001,
+            "ddpm_ckpt_name": "ddpm_ckpt.pth",
+            "controlnet_ckpt_name": "ddpm_controlnet_ckpt.pth",
+            "consistency_epochs": 1, "consistency_lr": 0.001,
+            "distribution_matching_epochs": 1, "distribution_matching_lr": 0.001,
+        },
+    }
+    cfg_path = root / "tiny.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    # Prereqs: base DDPM + ControlNet teacher
+    from tools.train_ddpm import train as train_ddpm
+    from tools.train_ddpm_controlnet import train as train_cn
+
+    a = types.SimpleNamespace(config_path=str(cfg_path))
+    train_ddpm(a)
+    train_cn(a)
+    return types.SimpleNamespace(config_path=str(cfg_path), task=str(root / "task"))
+
+
+def test_consistency_distill_and_sample(ws):
+    from tools.sample_consistency_controlnet_distilled import sample
+    from tools.train_consistency_controlnet_distilled import CKPT_NAME, train
+
+    train(types.SimpleNamespace(config_path=ws.config_path))
+    from controlnet_tpu.io.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(ws.task, CKPT_NAME) == 1
+
+    for mode in ["test", "custom"]:
+        sample(types.SimpleNamespace(config_path=ws.config_path, mode=mode,
+                                     num_samples=2, num_steps=1, seed=0))
+    out = os.path.join(ws.task, "consistency_samples")
+    assert glob.glob(os.path.join(out, "test_comparison_*.png"))
+    assert glob.glob(os.path.join(out, "custom_sample_*.png"))
+
+
+def test_dmd_distill_and_sample(ws):
+    from tools.sample_distribution_matching_controlnet_distilled import sample
+    from tools.train_distribution_matching_controlnet_distilled import CKPT_NAME, train
+
+    train(types.SimpleNamespace(config_path=ws.config_path, no_plots=False))
+    from controlnet_tpu.io.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(ws.task, CKPT_NAME) == 1
+    # training artifacts: per-epoch comparison grid + loss curves
+    assert glob.glob(os.path.join(ws.task, "dmd_training_samples", "epoch_*_comparison.png"))
+    assert os.path.exists(os.path.join(ws.task, "dmd_training_curves.png"))
+
+    sample(types.SimpleNamespace(config_path=ws.config_path, mode="test",
+                                 num_samples=2, best=True, seed=0))
+    out = os.path.join(ws.task, "distribution_matching_samples")
+    assert glob.glob(os.path.join(out, "test_comparison_*.png"))
+
+
+def test_compare_all_models(ws):
+    from tools.compare_all_controlnet_models import compare_models
+
+    compare_models(types.SimpleNamespace(config_path=ws.config_path,
+                                         num_samples=2, ddpm_steps=8, seed=0))
+    out = os.path.join(ws.task, "all_model_comparison")
+    assert os.path.exists(os.path.join(out, "performance_metrics.txt"))
+    assert os.path.exists(os.path.join(out, "timing_data.npy"))
+    with open(os.path.join(out, "performance_metrics.txt")) as f:
+        txt = f.read()
+    assert "ddpm" in txt and "consistency" in txt and "dmd" in txt

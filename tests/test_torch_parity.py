@@ -1,0 +1,149 @@
+"""Cross-framework numerical parity: reference PyTorch models vs this
+framework, weights imported via io/torch_import.py.
+
+These tests construct the REFERENCE architectures (imported read-only from
+/root/reference) with random torch init, convert the state_dict, and assert
+the two stacks compute the same function — the strongest possible parity
+evidence for FID-equivalence (SURVEY.md §7 build step 2).
+Skipped when the reference checkout is absent.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
+
+torch = pytest.importorskip("torch")
+
+TINY = dict(
+    im_channels=1,
+    im_size=8,
+    hint_channels=3,
+    down_channels=[8, 16, 16],
+    mid_channels=[16, 16],
+    down_sample=[True, False],
+    time_emb_dim=8,
+    num_down_layers=1,
+    num_mid_layers=1,
+    num_up_layers=1,
+    num_heads=4,  # reference base UNet hardcodes 4 heads (unet_base.py:40)
+)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    sys.path.insert(0, REFERENCE)
+    import models.controlnet as ref_controlnet
+    import models.unet_base as ref_unet_base
+    import models.vae as ref_vae
+
+    yield ref_unet_base, ref_controlnet, ref_vae
+    sys.path.remove(REFERENCE)
+
+
+def _nhwc(x_nchw: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
+
+
+def _nchw(x_nhwc) -> np.ndarray:
+    return np.asarray(x_nhwc).transpose(0, 3, 1, 2)
+
+
+def test_unet_forward_parity(ref_modules):
+    ref_unet_base, _, _ = ref_modules
+    from controlnet_tpu.io.torch_import import import_unet
+    from controlnet_tpu.models.unet import UNet
+
+    torch.manual_seed(0)
+    tm = ref_unet_base.Unet(TINY).eval()
+    ours = UNet(TINY["im_channels"], TINY)
+    params = import_unet(tm.state_dict(), ours)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 1, 8, 8)).astype(np.float32)
+    t = np.array([3, 6])
+
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    our_out = _nchw(jax.jit(lambda p, x, t: ours(p, x, t))(params, _nhwc(x), jnp.asarray(t)))
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-4)
+
+
+def test_controlnet_forward_parity(ref_modules):
+    _, ref_controlnet, _ = ref_modules
+    from controlnet_tpu.io.torch_import import import_controlnet
+    from controlnet_tpu.models.controlnet import ControlNet
+
+    torch.manual_seed(1)
+    tm = ref_controlnet.ControlNet(TINY).eval()
+    # randomize the zero convs so the control branch actually contributes
+    with torch.no_grad():
+        for m in [tm.control_copy_unet_hint_block[-1], *tm.control_copy_unet_down_zero_convs,
+                  *tm.control_copy_unet_mid_zero_convs]:
+            m.weight.normal_(0, 0.05)
+            m.bias.normal_(0, 0.05)
+
+    ours = ControlNet(TINY["im_channels"], TINY)
+    params = import_controlnet(tm.state_dict(), ours)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 1, 8, 8)).astype(np.float32)
+    hint = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    t = np.array([2, 7])
+
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(hint)).numpy()
+    our_out = _nchw(
+        jax.jit(lambda p, x, t, h: ours(p, x, t, h))(
+            params, _nhwc(x), jnp.asarray(t), _nhwc(hint))
+    )
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-4)
+
+
+def test_vae_parity(ref_modules):
+    _, _, ref_vae = ref_modules
+    from controlnet_tpu.io.torch_import import import_vae
+    from controlnet_tpu.models.vae import VAE
+
+    vae_config = dict(
+        z_channels=2, down_channels=[8, 16], mid_channels=[16],
+        down_sample=[True], attn_down=[False], norm_channels=4, num_heads=2,
+        num_down_layers=1, num_mid_layers=1, num_up_layers=1,
+    )
+    torch.manual_seed(2)
+    tm = ref_vae.VAE(im_channels=3, model_config=vae_config).eval()
+    ours = VAE(3, vae_config)
+    params = import_vae(tm.state_dict(), ours)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+
+    # encoder moments (deterministic part of encode, vae.py:87-97)
+    with torch.no_grad():
+        t_enc = tm.pre_quant_conv(tm.encoder_conv_out(
+            torch.nn.SiLU()(tm.encoder_norm_out(_ref_encode_features(tm, torch.from_numpy(x))))
+        )).numpy()
+    our_enc = _nchw(jax.jit(ours.moments)(params, _nhwc(x)))
+    np.testing.assert_allclose(our_enc, t_enc, atol=2e-4)
+
+    # decoder on a fixed latent
+    z = rng.normal(size=(2, 2, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        t_dec = tm.decode(torch.from_numpy(z)).numpy()
+    our_dec = _nchw(jax.jit(ours.decode)(params, _nhwc(z)))
+    np.testing.assert_allclose(our_dec, t_dec, atol=2e-4)
+
+
+def _ref_encode_features(tm, x):
+    out = tm.encoder_conv_in(x)
+    for down in tm.encoder_layers:
+        out = down(out)
+    for mid in tm.encoder_mids:
+        out = mid(out)
+    return out

@@ -21,32 +21,22 @@ import random
 
 import jax
 import numpy as np
-import optax
 
 from controlnet_tpu import cli, config as cfg
-from controlnet_tpu.io.checkpoint import restore_checkpoint
 from controlnet_tpu.io.images import save_image_grid
-from controlnet_tpu.models.discriminator import Discriminator
 from controlnet_tpu.models.vae import VAE
-from controlnet_tpu.train.state import create_train_state
 
 
 def load_vae_params(task_name: str, train_config: dict, vae: VAE, im_channels: int = 3):
     """Restore VAE params from a train_vae checkpoint ({"g","d"} tree)."""
-    disc = Discriminator(im_channels=im_channels)
-    acc = train_config.get("autoencoder_acc_steps", 1)
-    base = optax.adam(1e-4, b1=0.5, b2=0.999)
-    tx = optax.MultiSteps(base, acc) if acc > 1 else base
-    template = {
-        "g": create_train_state(vae.init(jax.random.PRNGKey(0)), tx),
-        "d": create_train_state(disc.init(jax.random.PRNGKey(1)), tx),
-    }
-    restored = restore_checkpoint(task_name, train_config["vae_autoencoder_ckpt_name"], template)
+    from controlnet_tpu.io.checkpoint import restore_checkpoint_raw
+
+    restored = restore_checkpoint_raw(task_name, train_config["vae_autoencoder_ckpt_name"])
     if restored is None:
         raise FileNotFoundError("VAE checkpoint not found — run tools.train_vae first")
     tree, step = restored
     print(f"Loaded VAE checkpoint at epoch {step}")
-    return tree["g"].params
+    return tree["g"]["params"]
 
 
 def infer(args):

@@ -19,14 +19,11 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from controlnet_tpu import cli, config as cfg
 from controlnet_tpu.data.datasets import iterate_batches
-from controlnet_tpu.io.checkpoint import restore_checkpoint
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.consistency import ConsistencyDistilled
-from controlnet_tpu.train.state import create_train_state
 from tools.train_consistency_controlnet_distilled import CKPT_NAME
 
 
@@ -71,17 +68,15 @@ def create_custom_hints(model_config: dict, num_samples: int) -> np.ndarray:
 
 
 def load_student(task_name: str, model: ConsistencyDistilled):
-    template_student = model.student.init(jax.random.PRNGKey(0))
-    tx = optax.adam(1e-4)
-    template = {"state": create_train_state(template_student, tx),
-                "ema": jax.tree.map(jnp.copy, template_student)}
-    restored = restore_checkpoint(task_name, CKPT_NAME, template)
+    from controlnet_tpu.io.checkpoint import restore_checkpoint_raw
+
+    restored = restore_checkpoint_raw(task_name, CKPT_NAME)
     if restored is None:
         raise FileNotFoundError(
             f"Student checkpoint not found under {task_name}/{CKPT_NAME}")
     tree, step = restored
     print(f"Loaded consistency student at epoch {step}")
-    return tree["state"].params
+    return tree["state"]["params"]
 
 
 def sample(args):

@@ -20,29 +20,26 @@ import jax
 import numpy as np
 
 from controlnet_tpu import cli, config as cfg
-from controlnet_tpu.io.checkpoint import restore_checkpoint
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.unet import UNet
 from controlnet_tpu.sample.ddpm import make_ddpm_sampler
 from controlnet_tpu.schedules.linear import make_linear_schedule
-from controlnet_tpu.train.state import TrainState
 
 
 def load_unet_params(task_name: str, ckpt_name: str, unet: UNet):
-    """Restore UNet params from a train-state checkpoint."""
-    import optax
+    """Restore UNet params from a train-state checkpoint (template-free raw
+    restore: only the params subtree is needed, regardless of which
+    optimizer the trainer used)."""
+    from controlnet_tpu.io.checkpoint import restore_checkpoint_raw
 
-    from controlnet_tpu.train.state import create_train_state
-
-    template = create_train_state(unet.init(jax.random.PRNGKey(0)), optax.adam(1e-4))
-    restored = restore_checkpoint(task_name, ckpt_name, template)
+    restored = restore_checkpoint_raw(task_name, ckpt_name)
     if restored is None:
         raise FileNotFoundError(
             f"no checkpoint for {ckpt_name} under {task_name}/ — train first"
         )
-    state, step = restored
+    tree, step = restored
     print(f"Loaded checkpoint at epoch {step}")
-    return state.params
+    return tree["params"]
 
 
 def sample(args):

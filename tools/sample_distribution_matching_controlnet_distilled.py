@@ -17,14 +17,11 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from controlnet_tpu import cli, config as cfg
 from controlnet_tpu.data.datasets import iterate_batches
-from controlnet_tpu.io.checkpoint import restore_checkpoint
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.dmd import DistributionMatchingControlNet
-from controlnet_tpu.train.state import create_train_state
 from tools.sample_consistency_controlnet_distilled import adapt_hint_channels
 from tools.train_distribution_matching_controlnet_distilled import BEST_CKPT_NAME, CKPT_NAME
 
@@ -49,17 +46,17 @@ def create_geometric_hints(num_samples: int, model_config: dict) -> np.ndarray:
 
 
 def load_student(task_name: str, student: DistributionMatchingControlNet, use_best: bool):
-    template = {"state": create_train_state(student.init(jax.random.PRNGKey(0)),
-                                            optax.adam(1e-4))}
+    from controlnet_tpu.io.checkpoint import restore_checkpoint_raw
+
     name = BEST_CKPT_NAME if use_best else CKPT_NAME
-    restored = restore_checkpoint(task_name, name, template)
+    restored = restore_checkpoint_raw(task_name, name)
     if restored is None and use_best:
-        restored = restore_checkpoint(task_name, CKPT_NAME, template)
+        restored = restore_checkpoint_raw(task_name, CKPT_NAME)
     if restored is None:
         raise FileNotFoundError(f"DMD student checkpoint not found under {task_name}/")
     tree, step = restored
     print(f"Loaded DMD student at epoch {step}")
-    return tree["state"].params
+    return tree["state"]["params"]
 
 
 def sample(args):

@@ -14,16 +14,13 @@ import os
 
 import jax
 import numpy as np
-import optax
 
 from controlnet_tpu import cli, config as cfg
-from controlnet_tpu.io.checkpoint import restore_checkpoint
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.unet import UNet
 from controlnet_tpu.models.vae import VAE
 from controlnet_tpu.sample.ddpm import make_ldm_sampler
 from controlnet_tpu.schedules.linear import make_linear_schedule
-from controlnet_tpu.train.state import create_train_state
 from tools.infer_vae import load_vae_params
 
 
@@ -33,13 +30,14 @@ def latent_size(dataset_config: dict, autoencoder_config: dict) -> int:
 
 
 def load_ldm_params(task_name: str, ckpt_name: str, unet: UNet):
-    template = create_train_state(unet.init(jax.random.PRNGKey(0)), optax.adam(1e-4))
-    restored = restore_checkpoint(task_name, ckpt_name, template)
+    from controlnet_tpu.io.checkpoint import restore_checkpoint_raw
+
+    restored = restore_checkpoint_raw(task_name, ckpt_name)
     if restored is None:
         raise FileNotFoundError("LDM checkpoint not found — run tools.train_ldm_vae first")
-    state, step = restored
+    tree, step = restored
     print(f"Loaded LDM checkpoint at epoch {step}")
-    return state.params
+    return tree["params"]
 
 
 def sample(args):

@@ -95,18 +95,16 @@ def load_controlnet_params(task_name: str, ckpt_name: str, cn: ControlNet,
     """Restore full ControlNet params from a ControlNet train checkpoint.
 
     Mirrors the reference's prefix-aware loading (controlnet.py:31-138):
-    accepts a ControlNet checkpoint, or falls back to seeding from a raw
-    DDPM checkpoint when only that exists."""
-    import jax.numpy as jnp
+    accepts a ControlNet checkpoint (template-free raw restore, so any
+    trainer optimizer works), or falls back to seeding from a raw DDPM
+    checkpoint when only that exists."""
+    from controlnet_tpu.io.checkpoint import restore_checkpoint_raw
 
-    trainable, frozen = cn.split_params(cn.init(jax.random.PRNGKey(0)))
-    tx = optax.adam(1e-4)
-    template = {"state": create_train_state(trainable, tx), "frozen": frozen}
-    restored = restore_checkpoint(task_name, ckpt_name, template)
+    restored = restore_checkpoint_raw(task_name, ckpt_name)
     if restored is not None:
         tree, step = restored
         print(f"Loaded ControlNet checkpoint at epoch {step}")
-        return cn.merge_params(tree["state"].params, tree["frozen"])
+        return cn.merge_params(tree["state"]["params"], tree["frozen"])
     if fallback_unet_ckpt is not None:
         unet = cn.unet
         params = load_unet_params(task_name, fallback_unet_ckpt, unet)
