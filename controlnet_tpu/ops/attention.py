@@ -53,7 +53,7 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: in
     kh = _split_heads(k, num_heads)
     vh = _split_heads(v, num_heads)
 
-    if _use_pallas():
+    if _use_pallas() and _fits_vmem(qh, kh):
         try:
             from controlnet_tpu.ops.pallas_attention import fused_attention
 
@@ -62,3 +62,17 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: in
         except Exception:  # pragma: no cover - fallback safety
             pass
     return _merge_heads(_xla_attention(qh, kh, vh))
+
+
+def _fits_vmem(qh: jax.Array, kh: jax.Array, budget_bytes: int = 10 * 1024 * 1024) -> bool:
+    """One (batch, head) slice must fit VMEM: padded q/k/v/out blocks plus
+    the (Lq, Lk) score matrix and its exp intermediate, all float32."""
+
+    def rup(x, m=128):
+        return ((x + m - 1) // m) * m
+
+    lq, d = rup(qh.shape[2]), rup(qh.shape[3])
+    lk = rup(kh.shape[2])
+    blocks = (lq + 2 * lk + lq) * d * 4  # q, k, v, out
+    scores = 2 * lq * lk * 4  # scores + softmax intermediate
+    return blocks + scores < budget_bytes
