@@ -147,3 +147,67 @@ def _ref_encode_features(tm, x):
     for mid in tm.encoder_mids:
         out = mid(out)
     return out
+
+
+LDM_TINY = dict(
+    hint_channels=3,
+    down_channels=[8, 16, 16],
+    mid_channels=[16, 16],
+    down_sample=[True, False],
+    attn_down=[False, True],
+    time_emb_dim=8,
+    norm_channels=4,
+    num_heads=2,
+    conv_out_channels=8,
+    num_down_layers=1,
+    num_mid_layers=1,
+    num_up_layers=1,
+)
+
+
+def test_cond_unet_and_ldm_controlnet_parity(ref_modules):
+    """The conditional/LDM UNet (unet_cond_base.py) and the LDM ControlNet
+    with its dynamically built strided hint encoder (controlnet_ldm.py)."""
+    sys.path.insert(0, REFERENCE)
+    try:
+        import models.controlnet_ldm as ref_cn_ldm
+        import models.unet_cond_base as ref_cond
+    finally:
+        sys.path.remove(REFERENCE)
+
+    from controlnet_tpu.io.torch_import import import_controlnet, import_unet
+    from controlnet_tpu.models.controlnet import ControlNet
+    from controlnet_tpu.models.unet import UNet
+
+    z = 2
+    torch.manual_seed(3)
+    tm = ref_cond.Unet(im_channels=z, model_config=LDM_TINY).eval()
+    ours = UNet(z, LDM_TINY)
+    params = import_unet(tm.state_dict(), ours)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, z, 8, 8)).astype(np.float32)
+    t = np.array([1, 5])
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    our_out = _nchw(jax.jit(lambda p, x, t: ours(p, x, t))(params, _nhwc(x), jnp.asarray(t)))
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-4)
+
+    # LDM ControlNet: hint at 4x the latent resolution
+    torch.manual_seed(4)
+    tcn = ref_cn_ldm.ControlNet(im_channels=z, model_config=LDM_TINY,
+                                down_sample_factor=4).eval()
+    with torch.no_grad():
+        for m in [tcn.control_unet_hint_block[-1][-1], *tcn.control_unet_down_zero_convs,
+                  *tcn.control_unet_mid_zero_convs]:
+            m.weight.normal_(0, 0.05)
+            m.bias.normal_(0, 0.05)
+    ocn = ControlNet(z, LDM_TINY, down_sample_factor=4)
+    cparams = import_controlnet(tcn.state_dict(), ocn)
+
+    hint = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_c = tcn(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(hint)).numpy()
+    our_c = _nchw(jax.jit(lambda p, x, t, h: ocn(p, x, t, h))(
+        cparams, _nhwc(x), jnp.asarray(t), _nhwc(hint)))
+    np.testing.assert_allclose(our_c, ref_c, atol=2e-4)
