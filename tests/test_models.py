@@ -281,3 +281,31 @@ def test_remat_matches_baseline(tiny_model_config):
     l0, l1, gdiff = both_loss_grads(p, x, t)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     assert float(gdiff) < 1e-4
+
+
+def test_consistency_multistep_generate(tiny_model_config):
+    """Multi-step consistency sampling on device (fori_loop carrying x,
+    consistency_controlnet_distilled.py:391-409)."""
+    model = ConsistencyDistilled(1, tiny_model_config, use_ddpm_teacher=False)
+    p = model.init(jax.random.PRNGKey(0))
+    hint = jnp.zeros((2, 8, 8, 3))
+
+    gen = jax.jit(lambda sp, k, n: model.generate({"student": sp}, hint, (2, 8, 8, 1), k,
+                                                  num_steps=n), static_argnames="n")
+    x1 = gen(p["student"], jax.random.PRNGKey(1), 1)
+    x4 = gen(p["student"], jax.random.PRNGKey(1), 4)
+    assert x1.shape == (2, 8, 8, 1) and x4.shape == (2, 8, 8, 1)
+    assert jnp.all(jnp.isfinite(x1)) and jnp.all(jnp.isfinite(x4))
+
+
+def test_prefetch_iterator_matches_sync(tiny_model_config, tmp_path):
+    from controlnet_tpu.data.datasets import MnistDataset, iterate_batches
+    from controlnet_tpu.data.synthetic import make_synthetic_image_tree
+
+    root = make_synthetic_image_tree(str(tmp_path / "pf"), num_classes=2, per_class=6, size=8)
+    ds = MnistDataset("train", root)
+    sync = list(iterate_batches(ds, 4, shuffle=True, seed=3, prefetch=0))
+    pref = list(iterate_batches(ds, 4, shuffle=True, seed=3, prefetch=2))
+    assert len(sync) == len(pref)
+    for a, b in zip(sync, pref):
+        np.testing.assert_array_equal(a, b)
