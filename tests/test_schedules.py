@@ -123,3 +123,24 @@ def test_log_uniform_sigmas_in_range():
     # roughly log-uniform: median near geometric mean
     gm = np.sqrt(0.002 * 80.0)
     assert gm / 4 < np.median(sig) < gm * 4
+
+
+def test_consistency_scheduler_class():
+    """API-parity wrapper (scheduler/consistency_scheduler.py:4-60)."""
+    from controlnet_tpu.schedules.consistency import ConsistencyScheduler
+
+    cs = ConsistencyScheduler(10, 0.002, 80.0)
+    assert cs.sigmas.shape == (10,)
+    x0 = jnp.ones((2, 4, 4, 1))
+    x_t, eps = cs.add_noise(x0, jnp.array([0, 9]), jax.random.PRNGKey(0))
+    assert x_t.shape == x0.shape and eps.shape == x0.shape
+    # t=0 adds sigma_min noise; t=9 adds sigma_max noise
+    assert float(jnp.abs(x_t[0] - 1.0).max()) < 0.01
+    assert float(jnp.abs(x_t[1] - 1.0).max()) > 10.0
+
+    model_fn = lambda x, t, hint: x * 0.5
+    loss = cs.consistency_loss(model_fn, x_t, jnp.array([5, 5]), None, x0,
+                               jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    out = cs.sample(model_fn, x_t, jnp.array([9, 9]), None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x_t) * 0.5)
