@@ -63,3 +63,19 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Device-put a pytree fully replicated across the mesh."""
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_host_local_batch(batch: Any, mesh: Mesh) -> Any:
+    """Multi-host batch assembly: each process contributes its local shard
+    of the global batch (leading axis), producing one global sharded array.
+
+    Single-host this reduces to ``shard_batch``; multi-host it is the
+    jax.distributed pattern — every host loads a disjoint slice and
+    ``make_array_from_process_local_data`` stitches the global array without
+    any cross-host copy of the full batch."""
+    sh = data_sharding(mesh)
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+    )

@@ -101,3 +101,16 @@ def test_checkpoint_roundtrip(tmp_path):
     assert step == 7
     for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(tree)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cifar_dataset_rgb_hints(tmp_path):
+    """RGB tree + RGB->gray canny hints (cifar_dataset.py:141-158)."""
+    from controlnet_tpu.data.datasets import CifarDataset
+
+    root = make_synthetic_image_tree(str(tmp_path / "cifar"), num_classes=2,
+                                     per_class=3, size=32, channels=3)
+    ds = CifarDataset("train", root, return_hints=True)
+    im, hint = ds[0]
+    assert im.shape == (32, 32, 3)
+    assert hint.shape == (32, 32, 3)
+    assert set(np.unique(hint)) <= {0.0, 1.0}

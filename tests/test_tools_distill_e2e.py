@@ -93,7 +93,17 @@ def test_dmd_distill_and_sample(ws):
 
 
 def test_compare_all_models(ws):
+    from controlnet_tpu.io.checkpoint import latest_checkpoint
     from tools.compare_all_controlnet_models import compare_models
+    from tools.train_consistency_controlnet_distilled import CKPT_NAME as CONS_CKPT
+    from tools.train_consistency_controlnet_distilled import train as train_cons
+    from tools.train_distribution_matching_controlnet_distilled import CKPT_NAME as DMD_CKPT
+    from tools.train_distribution_matching_controlnet_distilled import train as train_dmd
+
+    if latest_checkpoint(ws.task, CONS_CKPT) is None:  # self-sufficient when run alone
+        train_cons(types.SimpleNamespace(config_path=ws.config_path))
+    if latest_checkpoint(ws.task, DMD_CKPT) is None:
+        train_dmd(types.SimpleNamespace(config_path=ws.config_path, no_plots=True))
 
     compare_models(types.SimpleNamespace(config_path=ws.config_path,
                                          num_samples=2, ddpm_steps=8, seed=0))
@@ -103,3 +113,21 @@ def test_compare_all_models(ws):
     with open(os.path.join(out, "performance_metrics.txt")) as f:
         txt = f.read()
     assert "ddpm" in txt and "consistency" in txt and "dmd" in txt
+
+
+def test_compare_two_models(ws):
+    """tools/compare_controlnet_models.py (DDPM vs consistency, :18-297)."""
+    from controlnet_tpu.io.checkpoint import latest_checkpoint
+    from tools.compare_controlnet_models import compare_models
+    from tools.train_consistency_controlnet_distilled import CKPT_NAME as CONS_CKPT
+    from tools.train_consistency_controlnet_distilled import train as train_cons
+
+    if latest_checkpoint(ws.task, CONS_CKPT) is None:  # self-sufficient when run alone
+        train_cons(types.SimpleNamespace(config_path=ws.config_path))
+
+    compare_models(types.SimpleNamespace(config_path=ws.config_path,
+                                         num_samples=2, ddpm_steps=8, seed=0))
+    out = os.path.join(ws.task, "model_comparison")
+    assert os.path.exists(os.path.join(out, "performance_metrics.txt"))
+    assert os.path.exists(os.path.join(out, "timing_data.npy"))
+    assert glob.glob(os.path.join(out, "comparison_*.png"))
