@@ -44,7 +44,11 @@ def train(args):
         diffusion_config["beta_start"],
         diffusion_config["beta_end"],
     )
-    dataset = cli.build_dataset(task_name, dataset_config, "train", return_hints=True)
+    # Hint pipeline: host-side cv2 (exact reference behavior) or the
+    # vectorized on-TPU canny fused into the input path (ops/canny.py).
+    hint_backend = getattr(args, "hint_backend", "cv2")
+    dataset = cli.build_dataset(task_name, dataset_config, "train",
+                                return_hints=(hint_backend == "cv2"))
 
     cn = ControlNet(model_config["im_channels"], model_config, model_locked=True)
     key = jax.random.PRNGKey(train_config.get("seed", 0))
@@ -72,16 +76,26 @@ def train(args):
     frozen = cli.put_replicated(frozen, mesh)
     step = make_controlnet_train_step(cn, sched, tx)
 
+    if hint_backend == "tpu":
+        from controlnet_tpu.ops.canny import canny_hints
+
+        device_hints = jax.jit(lambda im: canny_hints((im + 1.0) / 2.0))
+
     num_epochs = train_config["controlnet_epochs"]
     batch_size = train_config["batch_size"]
     for epoch_idx in range(start_epoch, num_epochs):
         timer = cli.EpochTimer()
         key, shuffle_key = jax.random.split(key)
         seed = int(jax.random.randint(shuffle_key, (), 0, 2**31 - 1))
-        for images, hints in iterate_batches(dataset, batch_size, shuffle=True, seed=seed):
+        for batch in iterate_batches(dataset, batch_size, shuffle=True, seed=seed):
             key, step_key = jax.random.split(key)
-            images = cli.put_batch(images, mesh)
-            hints = cli.put_batch(hints, mesh)
+            if hint_backend == "tpu":
+                images = cli.put_batch(batch, mesh)
+                hints = device_hints(images)
+            else:
+                images, hints = batch
+                images = cli.put_batch(images, mesh)
+                hints = cli.put_batch(hints, mesh)
             state, loss = step(state, frozen, images, hints, step_key)
             timer.add(loss)
         print(f"Finished epoch:{epoch_idx + 1} | {timer.summary()}")
@@ -116,4 +130,7 @@ def load_controlnet_params(task_name: str, ckpt_name: str, cn: ControlNet,
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="Arguments for ddpm controlnet training")
     parser.add_argument("--config", dest="config_path", default="config/mnist.yaml", type=str)
+    parser.add_argument("--hint_backend", choices=["cv2", "tpu"], default="cv2",
+                        help="cv2: host-side canny (exact reference parity); "
+                             "tpu: vectorized on-device canny (ops/canny.py)")
     train(parser.parse_args())
