@@ -79,6 +79,29 @@ def bench_ldm_forward(batch: int, dtype, tag: str):
                       "fwd_per_sec_per_sample": round(1.0 / dt / batch, 4)}), flush=True)
 
 
+def bench_ldm_controlnet_sampling(batch: int, steps: int, dtype, tag: str):
+    """The BASELINE.json north-star config: 1000-step CelebHQ LDM ControlNet
+    sampling (latent 32x32x4, full-res canny hint through the strided hint
+    encoder)."""
+    from controlnet_tpu.models.controlnet import ControlNet
+
+    sched = make_linear_schedule(steps, 0.0015, 0.0195, ldm_scheduler=True)
+    cn = ControlNet(4, LDM_MP, model_locked=True, down_sample_factor=32)
+    params = cn.init(jax.random.PRNGKey(0))
+    shape = (batch, 32, 32, 4)
+    hint = jnp.zeros((batch, 1024, 1024, 3), jnp.float32)
+    sampler = make_ddpm_sampler(lambda p, x, t, h: cn(p, x, t, h), sched, shape,
+                                record_every=steps, compute_dtype=dtype)
+    jax.block_until_ready(sampler(params, jax.random.PRNGKey(1), hint)[0])
+    t0 = time.time()
+    x0, _ = sampler(params, jax.random.PRNGKey(2), hint)
+    jax.block_until_ready(x0)
+    dt = time.time() - t0
+    print(json.dumps({"exp": tag, "samples_per_sec": round(batch / dt, 4),
+                      "ms_per_step": round(dt / steps * 1e3, 3),
+                      "s_total": round(dt, 2)}), flush=True)
+
+
 def main():
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
     steps = int(os.environ.get("EXP_STEPS", "1000"))
@@ -96,6 +119,10 @@ def main():
 
     bench_ldm_forward(16, None, "ldm_fwd_f32_b16")
     bench_ldm_forward(16, jnp.bfloat16, "ldm_fwd_bf16_b16")
+
+    if os.environ.get("EXP_LDM_SAMPLING", "1") == "1":
+        lb = int(os.environ.get("EXP_LDM_BATCH", "4"))
+        bench_ldm_controlnet_sampling(lb, steps, jnp.bfloat16, "ldm_controlnet_bf16")
 
 
 if __name__ == "__main__":
