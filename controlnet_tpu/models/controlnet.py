@@ -143,7 +143,15 @@ class ControlNet:
         return p
 
     # ------------------------------------------------------------------
-    def __call__(self, p: Params, x: jax.Array, t: jax.Array, hint: jax.Array) -> jax.Array:
+    def hint_features(self, p: Params, hint: jax.Array) -> jax.Array:
+        """Hint-encoder features (conv_in-resolution).  The hint is constant
+        across a sampling loop, so samplers precompute this ONCE and pass it
+        via ``hint_features`` — for CelebHQ this removes a 1024^2-input conv
+        stack from every one of the 1000 denoising steps."""
+        return self.hint_block(p["hint_block"], hint)
+
+    def __call__(self, p: Params, x: jax.Array, t: jax.Array, hint: jax.Array | None = None,
+                 hint_features: jax.Array | None = None) -> jax.Array:
         unet, ctrl = self.unet, self.control_unet
 
         # Frozen trunk down path — stop_gradient mirrors torch.no_grad()
@@ -155,8 +163,10 @@ class ControlNet:
 
         # Control branch (trainable).
         c_t_emb = ctrl.time_embed(p["control_unet"], t)
-        hint_out = self.hint_block(p["hint_block"], hint)
-        c_out = ctrl.stem(p["control_unet"], x) + hint_out
+        if hint_features is None:
+            assert hint is not None, "pass hint or precomputed hint_features"
+            hint_features = self.hint_block(p["hint_block"], hint)
+        c_out = ctrl.stem(p["control_unet"], x) + hint_features
 
         c_down_outs = []
         for i, (blk, bp) in enumerate(zip(ctrl.downs, p["control_unet"]["downs"])):

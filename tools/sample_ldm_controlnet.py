@@ -67,12 +67,14 @@ def sample(args):
 
     shape = (num_samples, lsize, lsize, z)
     record_every = max(1, args.save_every)
+    # Encode the full-res hint ONCE (loop-invariant across the 1000 steps —
+    # this is the 1024^2 strided conv stack, controlnet_ldm.py:45-79).
+    hint_feats = jax.jit(cn.hint_features)(params, jax.numpy.asarray(hints))
     sampler = make_ldm_sampler(
-        lambda p, x, t, h: cn(p, x, t, h), lambda p, zz: vae.decode(p, zz),
+        lambda p, x, t, f: cn(p, x, t, hint_features=f), lambda p, zz: vae.decode(p, zz),
         sched, shape, record_every=record_every,
     )
-    images, traj = sampler(params, vae_params, jax.random.PRNGKey(args.seed),
-                           jax.numpy.asarray(hints))
+    images, traj = sampler(params, vae_params, jax.random.PRNGKey(args.seed), hint_feats)
     images = np.asarray(jax.device_get(images))
     traj = np.asarray(jax.device_get(traj))
 
