@@ -224,6 +224,23 @@ def import_vae(sd: Mapping, vae) -> Params:
     return p
 
 
+def import_distilled_student(sd: Mapping, student) -> Params:
+    """Reference distilled-student state_dict -> our tree.
+
+    Covers both ConsistencyControlNet (consistency_controlnet_distilled.py:
+    10-38) and DistributionMatchingControlNet (distribution_matching_
+    controlnet.py:89-118): ``unet.*`` + flat ``hint_block.*`` Sequential +
+    ``t_proj.1`` Linear (their t_proj is Sequential(SiLU, Linear)).
+    Accepts raw student dicts or full wrapper dicts with ``student.``
+    prefixes."""
+    prefix = "student." if any(k.startswith("student.") for k in sd) else ""
+    return {
+        "unet": import_unet(sd, student.unet, f"{prefix}unet."),
+        "hint_block": _sequential_convs(sd, f"{prefix}hint_block", student.hint_block),
+        "t_proj": linear(sd, f"{prefix}t_proj.1"),
+    }
+
+
 def load_torch_state_dict(path: str) -> dict:
     import torch
 

@@ -15,6 +15,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # force: tests never touch real chips
 
 import jax  # noqa: E402
 
+# If a sitecustomize already imported jax (e.g. the axon TPU plugin), the
+# env var above came too late — force the config directly as well.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

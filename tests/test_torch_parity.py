@@ -211,3 +211,61 @@ def test_cond_unet_and_ldm_controlnet_parity(ref_modules):
     our_c = _nchw(jax.jit(lambda p, x, t, h: ocn(p, x, t, h))(
         cparams, _nhwc(x), jnp.asarray(t), _nhwc(hint)))
     np.testing.assert_allclose(our_c, ref_c, atol=2e-4)
+
+
+def test_distilled_students_parity(ref_modules):
+    """Consistency + DMD students: imported weights compute the same
+    function (EDM scalings / x0-prediction included)."""
+    # the reference DMD module imports torchvision (unused by the student
+    # class); stub it — torchvision is absent in this environment
+    import types as _types
+
+    if "torchvision" not in sys.modules:
+        tv = _types.ModuleType("torchvision")
+        tv.models = _types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        import models.consistency_controlnet_distilled as ref_cons
+        import models.distribution_matching_controlnet as ref_dmd
+    finally:
+        sys.path.remove(REFERENCE)
+
+    from controlnet_tpu.io.torch_import import import_distilled_student
+    from controlnet_tpu.models.consistency import ConsistencyControlNet
+    from controlnet_tpu.models.dmd import DistributionMatchingControlNet
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 1, 8, 8)).astype(np.float32)
+    hint = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+
+    # --- consistency student (sigma conditioning + EDM output scaling) ---
+    torch.manual_seed(5)
+    t_cons = ref_cons.ConsistencyControlNet(TINY).eval()
+    o_cons = ConsistencyControlNet(1, TINY)
+    p_cons = import_distilled_student(t_cons.state_dict(), o_cons)
+    sigma = np.array([0.7, 3.0], np.float32)
+    with torch.no_grad():
+        ref_out = t_cons(torch.from_numpy(x), torch.from_numpy(sigma),
+                         torch.from_numpy(hint)).numpy()
+    our_out = _nchw(jax.jit(lambda p, x, s, h: o_cons(p, x, s, h))(
+        p_cons, _nhwc(x), jnp.asarray(sigma), _nhwc(hint)))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4)
+
+    # --- DMD student (x0 prediction, zero-init hint conv randomized) ---
+    torch.manual_seed(6)
+    t_dmd = ref_dmd.DistributionMatchingControlNet(TINY).eval()
+    with torch.no_grad():
+        t_dmd.hint_block[-1].weight.normal_(0, 0.05)
+        t_dmd.hint_block[-1].bias.normal_(0, 0.05)
+    o_dmd = DistributionMatchingControlNet(1, TINY)
+    p_dmd = import_distilled_student(t_dmd.state_dict(), o_dmd)
+    t = np.array([4, 7])
+    with torch.no_grad():
+        ref_out = t_dmd(torch.from_numpy(x), torch.from_numpy(t),
+                        torch.from_numpy(hint)).numpy()
+    our_out = _nchw(jax.jit(lambda p, x, t, h: o_dmd(p, x, t, h))(
+        p_dmd, _nhwc(x), jnp.asarray(t), _nhwc(hint)))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4)
