@@ -65,14 +65,15 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: in
 
 
 def _fits_vmem(qh: jax.Array, kh: jax.Array, budget_bytes: int = 10 * 1024 * 1024) -> bool:
-    """One (batch, head) slice must fit VMEM: padded q/k/v/out blocks plus
-    the (Lq, Lk) score matrix and its exp intermediate, all float32."""
+    """One (batch, head) slice must fit VMEM: transposed q/k/v/out blocks
+    (head_dim on sublanes) plus the (Lq, Lk) score matrix and its exp
+    intermediate, all float32."""
 
     def rup(x, m=128):
         return ((x + m - 1) // m) * m
 
-    lq, d = rup(qh.shape[2]), rup(qh.shape[3])
-    lk = rup(kh.shape[2])
-    blocks = (lq + 2 * lk + lq) * d * 4  # q, k, v, out
+    lq, lk = rup(qh.shape[2]), rup(kh.shape[2])
+    d = ((qh.shape[3] + 15) // 16) * 16  # sublane padding only
+    blocks = (2 * lq + 2 * lk) * d * 4  # q_t, k_t, v_t, out_t
     scores = 2 * lq * lk * 4  # scores + softmax intermediate
     return blocks + scores < budget_bytes

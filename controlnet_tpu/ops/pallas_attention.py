@@ -1,14 +1,20 @@
 """Fused multi-head attention kernel for TPU (Pallas/Mosaic).
 
-Workload: spatial-token attention with short sequences (L <= ~1024 tokens,
-head_dim 8..128) — see ops/attention.py.  The whole (L, L) score matrix for
-one (batch, head) slice fits comfortably in VMEM (1024^2 f32 = 4 MB), so the
-kernel computes softmax(QK^T/sqrt(d))V for one slice per grid step with no
-HBM round-trip for the scores, which is the entire win at these sizes
-(flash-style streaming softmax is unnecessary).
+Workload: spatial-token attention with short sequences (L <= ~1024 tokens)
+and SMALL head dims (8..64) — see ops/attention.py.  Two design points:
 
-Inputs are padded to TPU tile boundaries (lanes=128) by the wrapper; padded
-key tokens are masked to -inf before the softmax.
+* The whole (L, L) score matrix for one (batch, head) slice fits VMEM
+  (1024^2 f32 = 4 MB), so softmax(QK^T/sqrt(d))V is computed with no HBM
+  round-trip for the scores — the entire win at these sizes (the XLA path
+  writes ~L^2 * B * H floats of probabilities to HBM per layer).
+
+* q/k/v are laid out TRANSPOSED, (head_dim, L): the lane (last, 128-wide)
+  dimension is the long L axis and head_dim sits on sublanes (8/16-wide).
+  The naive (L, head_dim) layout pads head_dim 16 -> 128 on the lane axis —
+  measured 8x wasted FLOPs + DMA, making the kernel SLOWER than XLA.  With
+  the transposed layout both matmuls contract over unpadded dims:
+      scores  = q_t^T k_t   : contract head_dim (sublane)
+      out_t   = v_t probs^T : contract L_k      (lane)
 """
 
 from __future__ import annotations
@@ -25,21 +31,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_kv: int):
-    q = q_ref[0].astype(jnp.float32)  # (Lq_pad, D_pad)
-    k = k_ref[0].astype(jnp.float32)  # (Lk_pad, D_pad)
-    v = v_ref[0].astype(jnp.float32)
+def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_kv: int):
+    q = q_ref[0].astype(jnp.float32)  # (dh_p, Lq_p)
+    k = k_ref[0].astype(jnp.float32)  # (dh_p, Lk_p)
+    v = v_ref[0].astype(jnp.float32)  # (dh_p, Lk_p)
 
-    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    # Mask padded key tokens.
+    # scores (Lq_p, Lk_p): contract the head dim (sublane axis, unpadded)
+    scores = jax.lax.dot_general(
+        q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
     scores = jnp.where(col < l_kv, scores, -1e30)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
 
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # out_t (dh_p, Lq_p): contract L_k (lane axis)
+    o_ref[0] = jax.lax.dot_general(
+        v, probs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -55,32 +66,33 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     lq_p = _round_up(lq, 128)
     lk_p = _round_up(lk, 128)
-    d_p = _round_up(d, 128)
+    d_p = _round_up(d, 16)  # sublane tile (16 covers f32 and bf16)
 
-    def pad(x, l_p):
-        return jnp.pad(
-            x.reshape(b * h, x.shape[2], d),
-            ((0, 0), (0, l_p - x.shape[2]), (0, d_p - d)),
-        )
+    def to_t(x, l, l_p):
+        # (B, H, L, D) -> (B*H, D_p, L_p), head-dim on sublanes
+        xt = x.transpose(0, 1, 3, 2).reshape(b * h, d, l)
+        return jnp.pad(xt, ((0, 0), (0, d_p - d), (0, l_p - l)))
 
-    qp, kp, vp = pad(q, lq_p), pad(k, lk_p), pad(v, lk_p)
+    qt, kt, vt = to_t(q, lq, lq_p), to_t(k, lk, lk_p), to_t(v, lk, lk_p)
 
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, l_kv=lk),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d_p), q.dtype),
+    out_t = pl.pallas_call(
+        functools.partial(_attn_kernel_t, scale=scale, l_kv=lk),
+        out_shape=jax.ShapeDtypeStruct((b * h, d_p, lq_p), q.dtype),
         grid=(b * h,),
         in_specs=[
-            pl.BlockSpec((1, lq_p, d_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_p, d_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_p, d_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, lq_p, d_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * (b * h) * (lq_p * lk_p * d_p + lq_p * lk_p * d_p),
-            bytes_accessed=(b * h) * (lq_p + 2 * lk_p + lq_p) * d_p * 4,
+            flops=2 * (b * h) * (lq_p * lk_p * d_p * 2),
+            bytes_accessed=(b * h) * (2 * lq_p + 2 * lk_p) * d_p * 4,
             transcendentals=(b * h) * lq_p * lk_p,
         ),
-    )(qp, kp, vp)
+    )(qt, kt, vt)
 
-    return out.reshape(b, h, lq_p, d_p)[:, :, :lq, :d]
+    # (B*H, D_p, L_p) -> (B, H, Lq, D)
+    out = out_t[:, :d, :lq].reshape(b, h, d, lq).transpose(0, 1, 3, 2)
+    return out
