@@ -31,26 +31,35 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_kv: int):
-    q = q_ref[0].astype(jnp.float32)  # (dh_p, Lq_p)
-    k = k_ref[0].astype(jnp.float32)  # (dh_p, Lk_p)
-    v = v_ref[0].astype(jnp.float32)  # (dh_p, Lk_p)
+def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_kv: int, group: int):
+    """Each program handles ``group`` (batch, head) slices via an in-kernel
+    loop — amortizing per-grid-step overhead (dominant at these tiny
+    per-slice shapes) while keeping only one (Lq, Lk) score matrix live in
+    VMEM at a time."""
 
-    # scores (Lq_p, Lk_p): contract the head dim (sublane axis, unpadded)
-    scores = jax.lax.dot_general(
-        q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
-    scores = jnp.where(col < l_kv, scores, -1e30)
+    def body(g, _):
+        q = q_ref[g].astype(jnp.float32)  # (dh_p, Lq_p)
+        k = k_ref[g].astype(jnp.float32)  # (dh_p, Lk_p)
+        v = v_ref[g].astype(jnp.float32)
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        # scores (Lq_p, Lk_p): contract the head dim (sublane axis, unpadded)
+        scores = jax.lax.dot_general(
+            q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        scores = jnp.where(col < l_kv, scores, -1e30)
 
-    # out_t (dh_p, Lq_p): contract L_k (lane axis)
-    o_ref[0] = jax.lax.dot_general(
-        v, probs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        # out_t (dh_p, Lq_p): contract L_k (lane axis)
+        o_ref[g] = jax.lax.dot_general(
+            v, probs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -75,16 +84,25 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     qt, kt, vt = to_t(q, lq, lq_p), to_t(k, lk, lk_p), to_t(v, lk, lk_p)
 
+    # Group slices per program: amortize grid-step overhead, bounded by a
+    # VMEM budget (blocks + one live score matrix + softmax intermediate).
+    budget = 10 * 1024 * 1024
+    scores_bytes = 2 * lq_p * lk_p * 4
+    per_slice = (2 * lq_p + 2 * lk_p) * d_p * 4
+    group = max(1, min(b * h, (budget - scores_bytes) // max(per_slice, 1)))
+    while (b * h) % group != 0:
+        group -= 1
+
     out_t = pl.pallas_call(
-        functools.partial(_attn_kernel_t, scale=scale, l_kv=lk),
+        functools.partial(_attn_kernel_t, scale=scale, l_kv=lk, group=group),
         out_shape=jax.ShapeDtypeStruct((b * h, d_p, lq_p), q.dtype),
-        grid=(b * h,),
+        grid=((b * h) // group,),
         in_specs=[
-            pl.BlockSpec((1, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((group, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * (b * h) * (lq_p * lk_p * d_p * 2),
