@@ -62,36 +62,109 @@ def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_kv: int, group
     jax.lax.fori_loop(0, group, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                       *, scale: float, l_kv: int, group: int):
+    """Backward: recompute probs (cheap at these sizes, avoids storing the
+    (Lq, Lk) matrix as a residual), then the standard softmax-attention
+    gradients, all in the transposed (head_dim, L) layout."""
+
+    def body(g, _):
+        q = q_ref[g].astype(jnp.float32)   # (d_p, Lq_p)
+        k = k_ref[g].astype(jnp.float32)   # (d_p, Lk_p)
+        v = v_ref[g].astype(jnp.float32)
+        do = do_ref[g].astype(jnp.float32)  # (d_p, Lq_p)
+
+        scores = jax.lax.dot_general(
+            q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        scores = jnp.where(col < l_kv, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (Lq_p, Lk_p)
+
+        # dV_t (d, Lk) = dO_t (d, Lq) @ P (Lq, Lk)
+        dv_ref[g] = jax.lax.dot_general(
+            do, probs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+
+        # dP (Lq, Lk) = dO^T V  — contract head dim
+        dp = jax.lax.dot_general(
+            do, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+
+        # dQ_t (d, Lq) = scale * K_t (d, Lk) @ dS^T (Lk, Lq)
+        dq_ref[g] = (scale * jax.lax.dot_general(
+            k, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )).astype(dq_ref.dtype)
+        # dK_t (d, Lk) = scale * Q_t (d, Lq) @ dS (Lq, Lk)
+        dk_ref[g] = (scale * jax.lax.dot_general(
+            q, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )).astype(dk_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, body, 0)
+
+
+def _dims(q, k):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    return b, h, lq, lk, d, _round_up(lq, 128), _round_up(lk, 128), _round_up(d, 16)
+
+
+def _to_t(x, l_p, d_p):
+    b, h, l, d = x.shape
+    xt = x.transpose(0, 1, 3, 2).reshape(b * h, d, l)
+    return jnp.pad(xt, ((0, 0), (0, d_p - d), (0, l_p - l)))
+
+
+def _from_t(xt, b, h, l, d):
+    return xt[:, :d, :l].reshape(b, h, d, l).transpose(0, 1, 3, 2)
+
+
+def _pick_group(bh: int, lq_p: int, lk_p: int, d_p: int, n_bufs: int) -> int:
+    """Largest divisor of bh whose blocks + one live score matrix fit VMEM."""
+    budget = 10 * 1024 * 1024
+    scores_bytes = 3 * lq_p * lk_p * 4
+    per_slice = n_bufs * (lq_p + lk_p) * d_p * 4
+    group = max(1, min(bh, (budget - scores_bytes) // max(per_slice, 1)))
+    while bh % group != 0:
+        group -= 1
+    return group
+
+
+@functools.lru_cache(maxsize=2)
+def _make_fused_attention(interpret: bool):
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _fused_attention_fwd_impl(q, k, v, interpret)
+
+    def fwd(q, k, v):
+        return _fused_attention_fwd_impl(q, k, v, interpret), (q, k, v)
+
+    def bwd(res, dout):
+        return _fused_attention_bwd(interpret, res, dout)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     interpret: bool = False) -> jax.Array:
     """softmax(QK^T/sqrt(d))V. q: (B, H, Lq, D), k/v: (B, H, Lk, D).
 
-    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU) —
-    used by tests to validate the kernel math without TPU hardware."""
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
+    Differentiable (custom VJP with a Pallas backward kernel).
+    ``interpret=True`` runs in the Pallas interpreter (CPU) — used by tests
+    to validate kernel math without TPU hardware."""
+    return _make_fused_attention(bool(interpret))(q, k, v)
+
+
+def _fused_attention_fwd_impl(q, k, v, interpret):
+    b, h, lq, lk, d, lq_p, lk_p, d_p = _dims(q, k)
     scale = 1.0 / (d**0.5)
-
-    lq_p = _round_up(lq, 128)
-    lk_p = _round_up(lk, 128)
-    d_p = _round_up(d, 16)  # sublane tile (16 covers f32 and bf16)
-
-    def to_t(x, l, l_p):
-        # (B, H, L, D) -> (B*H, D_p, L_p), head-dim on sublanes
-        xt = x.transpose(0, 1, 3, 2).reshape(b * h, d, l)
-        return jnp.pad(xt, ((0, 0), (0, d_p - d), (0, l_p - l)))
-
-    qt, kt, vt = to_t(q, lq, lq_p), to_t(k, lk, lk_p), to_t(v, lk, lk_p)
-
-    # Group slices per program: amortize grid-step overhead, bounded by a
-    # VMEM budget (blocks + one live score matrix + softmax intermediate).
-    budget = 10 * 1024 * 1024
-    scores_bytes = 2 * lq_p * lk_p * 4
-    per_slice = (2 * lq_p + 2 * lk_p) * d_p * 4
-    group = max(1, min(b * h, (budget - scores_bytes) // max(per_slice, 1)))
-    while (b * h) % group != 0:
-        group -= 1
+    qt, kt, vt = _to_t(q, lq_p, d_p), _to_t(k, lk_p, d_p), _to_t(v, lk_p, d_p)
+    group = _pick_group(b * h, lq_p, lk_p, d_p, n_bufs=2)
 
     out_t = pl.pallas_call(
         functools.partial(_attn_kernel_t, scale=scale, l_kv=lk, group=group),
@@ -110,7 +183,42 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             transcendentals=(b * h) * lq_p * lk_p,
         ),
     )(qt, kt, vt)
+    return _from_t(out_t, b, h, lq, d)
 
-    # (B*H, D_p, L_p) -> (B, H, Lq, D)
-    out = out_t[:, :d, :lq].reshape(b, h, d, lq).transpose(0, 1, 3, 2)
-    return out
+
+def _fused_attention_bwd(interpret, res, dout):
+    q, k, v = res
+    b, h, lq, lk, d, lq_p, lk_p, d_p = _dims(q, k)
+    scale = 1.0 / (d**0.5)
+    qt, kt, vt = _to_t(q, lq_p, d_p), _to_t(k, lk_p, d_p), _to_t(v, lk_p, d_p)
+    dot_t = _to_t(dout, lq_p, d_p)
+    group = _pick_group(b * h, lq_p, lk_p, d_p, n_bufs=4)
+
+    dqt, dkt, dvt = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_t, scale=scale, l_kv=lk, group=group),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, d_p, lq_p), q.dtype),
+            jax.ShapeDtypeStruct((b * h, d_p, lk_p), k.dtype),
+            jax.ShapeDtypeStruct((b * h, d_p, lk_p), v.dtype),
+        ),
+        grid=((b * h) // group,),
+        in_specs=[
+            pl.BlockSpec((group, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((group, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * (b * h) * (lq_p * lk_p * d_p * 2),
+            bytes_accessed=3 * (b * h) * (2 * lq_p + 2 * lk_p) * d_p * 4,
+            transcendentals=(b * h) * lq_p * lk_p,
+        ),
+    )(qt, kt, vt, dot_t)
+
+    return (_from_t(dqt, b, h, lq, d), _from_t(dkt, b, h, lk, d), _from_t(dvt, b, h, lk, d))

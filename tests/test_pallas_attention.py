@@ -30,3 +30,23 @@ def test_fused_attention_cross_lengths():
     ref = _xla_attention(q, k, v)
     out = fused_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_gradients_match_xla():
+    """Custom-VJP backward kernel vs autodiff through the XLA path."""
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(kq, (1, 2, 16, 8), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, 16, 8), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, 16, 8), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 16, 8), jnp.float32)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, True) * w)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v) * w)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
