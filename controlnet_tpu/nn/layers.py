@@ -263,16 +263,24 @@ class MultiheadAttention:
         }
 
     def __call__(self, p: Params, q_in: jax.Array, kv_in: jax.Array | None = None) -> jax.Array:
-        from controlnet_tpu.ops.attention import multi_head_attention
+        from controlnet_tpu.ops.attention import multi_head_attention_t
 
         if kv_in is None:
             kv_in = q_in
         dt = q_in.dtype
-        q = jnp.dot(q_in, p["wq"].astype(dt), preferred_element_type=jnp.float32) + p["bq"]
-        k = jnp.dot(kv_in, p["wk"].astype(dt), preferred_element_type=jnp.float32) + p["bk"]
-        v = jnp.dot(kv_in, p["wv"].astype(dt), preferred_element_type=jnp.float32) + p["bv"]
-        out = multi_head_attention(q.astype(dt), k.astype(dt), v.astype(dt), self.num_heads)
-        out = jnp.dot(out, p["wo"].astype(dt), preferred_element_type=jnp.float32) + p["bo"]
+        # Project straight into the TRANSPOSED (B, D, L) layout the fused
+        # kernel wants — XLA folds the transpose into the matmul, so no
+        # copy ops appear around the attention kernel.
+        qt = jnp.einsum("blc,cd->bdl", q_in, p["wq"].astype(dt),
+                        preferred_element_type=jnp.float32) + p["bq"][None, :, None]
+        kt = jnp.einsum("blc,cd->bdl", kv_in, p["wk"].astype(dt),
+                        preferred_element_type=jnp.float32) + p["bk"][None, :, None]
+        vt = jnp.einsum("blc,cd->bdl", kv_in, p["wv"].astype(dt),
+                        preferred_element_type=jnp.float32) + p["bv"][None, :, None]
+        out_t = multi_head_attention_t(qt.astype(dt), kt.astype(dt), vt.astype(dt),
+                                       self.num_heads)
+        out = jnp.einsum("bdl,dc->blc", out_t, p["wo"].astype(dt),
+                         preferred_element_type=jnp.float32) + p["bo"]
         return out.astype(dt)
 
 

@@ -64,6 +64,50 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: in
     return _merge_heads(_xla_attention(qh, kh, vh))
 
 
+def multi_head_attention_t(qt: jax.Array, kt: jax.Array, vt: jax.Array,
+                           num_heads: int) -> jax.Array:
+    """Attention over TRANSPOSED tokens: qt/kt/vt are (B, D, L) — the layout
+    the Pallas kernel wants (head_dim on sublanes).  Producing this layout
+    straight out of the projection einsum lets XLA fuse the transpose into
+    the matmul instead of emitting copy ops around the kernel.
+
+    Returns (B, D, Lq) so the output projection can consume it with
+    einsum('bdl,dc->blc', ...).
+    """
+    b, dm, lq = qt.shape
+    lk = kt.shape[2]
+    dh = dm // num_heads
+
+    if _use_pallas():
+        qh = qt.reshape(b, num_heads, dh, lq)
+        kh = kt.reshape(b, num_heads, dh, lk)
+        if _fits_vmem_t(lq, lk, dh):
+            try:
+                from controlnet_tpu.ops.pallas_attention import fused_attention_t
+
+                out_t = fused_attention_t(qh, kh, vt.reshape(b, num_heads, dh, lk))
+                return out_t.reshape(b, dm, lq)
+            except Exception:  # pragma: no cover - fallback safety
+                pass
+    # XLA fallback: back to (B, H, L, dh)
+    qh = qt.reshape(b, num_heads, dh, lq).transpose(0, 1, 3, 2)
+    kh = kt.reshape(b, num_heads, dh, lk).transpose(0, 1, 3, 2)
+    vh = vt.reshape(b, num_heads, dh, lk).transpose(0, 1, 3, 2)
+    out = _xla_attention(qh, kh, vh)  # (B, H, Lq, dh)
+    return out.transpose(0, 1, 3, 2).reshape(b, dm, lq)
+
+
+def _fits_vmem_t(lq: int, lk: int, dh: int, budget_bytes: int = 10 * 1024 * 1024) -> bool:
+    def rup(x, m=128):
+        return ((x + m - 1) // m) * m
+
+    lq_p, lk_p = rup(lq), rup(lk)
+    d_p = ((dh + 15) // 16) * 16
+    blocks = (2 * lq_p + 2 * lk_p) * d_p * 4
+    scores = 2 * lq_p * lk_p * 4
+    return blocks + scores < budget_bytes
+
+
 def _fits_vmem(qh: jax.Array, kh: jax.Array, budget_bytes: int = 10 * 1024 * 1024) -> bool:
     """One (batch, head) slice must fit VMEM: transposed q/k/v/out blocks
     (head_dim on sublanes) plus the (Lq, Lk) score matrix and its exp

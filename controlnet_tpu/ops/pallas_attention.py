@@ -107,20 +107,20 @@ def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     jax.lax.fori_loop(0, group, body, 0)
 
 
-def _dims(q, k):
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
+def _dims_t(qt, kt):
+    b, h, d, lq = qt.shape
+    lk = kt.shape[3]
     return b, h, lq, lk, d, _round_up(lq, 128), _round_up(lk, 128), _round_up(d, 16)
 
 
-def _to_t(x, l_p, d_p):
-    b, h, l, d = x.shape
-    xt = x.transpose(0, 1, 3, 2).reshape(b * h, d, l)
-    return jnp.pad(xt, ((0, 0), (0, d_p - d), (0, l_p - l)))
+def _pad_t(x4, l_p, d_p):
+    """(B, H, dh, L) -> padded (B*H, d_p, L_p) — reshape only, no transpose."""
+    b, h, d, l = x4.shape
+    return jnp.pad(x4.reshape(b * h, d, l), ((0, 0), (0, d_p - d), (0, l_p - l)))
 
 
-def _from_t(xt, b, h, l, d):
-    return xt[:, :d, :l].reshape(b, h, d, l).transpose(0, 1, 3, 2)
+def _unpad_t(xt, b, h, l, d):
+    return xt[:, :d, :l].reshape(b, h, d, l)
 
 
 def _pick_group(bh: int, lq_p: int, lk_p: int, d_p: int, n_bufs: int) -> int:
@@ -135,13 +135,13 @@ def _pick_group(bh: int, lq_p: int, lk_p: int, d_p: int, n_bufs: int) -> int:
 
 
 @functools.lru_cache(maxsize=2)
-def _make_fused_attention(interpret: bool):
+def _make_fused_attention_t(interpret: bool):
     @jax.custom_vjp
-    def f(q, k, v):
-        return _fused_attention_fwd_impl(q, k, v, interpret)
+    def f(qt, kt, vt):
+        return _fused_attention_fwd_impl(qt, kt, vt, interpret)
 
-    def fwd(q, k, v):
-        return _fused_attention_fwd_impl(q, k, v, interpret), (q, k, v)
+    def fwd(qt, kt, vt):
+        return _fused_attention_fwd_impl(qt, kt, vt, interpret), (qt, kt, vt)
 
     def bwd(res, dout):
         return _fused_attention_bwd(interpret, res, dout)
@@ -150,25 +150,37 @@ def _make_fused_attention(interpret: bool):
     return f
 
 
+def fused_attention_t(qt: jax.Array, kt: jax.Array, vt: jax.Array,
+                      interpret: bool = False) -> jax.Array:
+    """Transposed-layout attention core: qt/kt/vt are (B, H, dh, L) — the
+    layout the kernel wants natively (head_dim on sublanes), so producing
+    it straight from the projection einsum avoids any copies.  Returns
+    (B, H, dh, Lq).  Differentiable (custom VJP, Pallas backward)."""
+    return _make_fused_attention_t(bool(interpret))(qt, kt, vt)
+
+
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     interpret: bool = False) -> jax.Array:
     """softmax(QK^T/sqrt(d))V. q: (B, H, Lq, D), k/v: (B, H, Lk, D).
 
-    Differentiable (custom VJP with a Pallas backward kernel).
-    ``interpret=True`` runs in the Pallas interpreter (CPU) — used by tests
-    to validate kernel math without TPU hardware."""
-    return _make_fused_attention(bool(interpret))(q, k, v)
+    Convenience wrapper over ``fused_attention_t`` (transposes at the
+    boundary; gradients flow through the transposes)."""
+    out_t = fused_attention_t(
+        q.transpose(0, 1, 3, 2), k.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2),
+        interpret,
+    )
+    return out_t.transpose(0, 1, 3, 2)
 
 
-def _fused_attention_fwd_impl(q, k, v, interpret):
-    b, h, lq, lk, d, lq_p, lk_p, d_p = _dims(q, k)
+def _fused_attention_fwd_impl(qt4, kt4, vt4, interpret):
+    b, h, lq, lk, d, lq_p, lk_p, d_p = _dims_t(qt4, kt4)
     scale = 1.0 / (d**0.5)
-    qt, kt, vt = _to_t(q, lq_p, d_p), _to_t(k, lk_p, d_p), _to_t(v, lk_p, d_p)
+    qt, kt, vt = _pad_t(qt4, lq_p, d_p), _pad_t(kt4, lk_p, d_p), _pad_t(vt4, lk_p, d_p)
     group = _pick_group(b * h, lq_p, lk_p, d_p, n_bufs=2)
 
     out_t = pl.pallas_call(
         functools.partial(_attn_kernel_t, scale=scale, l_kv=lk, group=group),
-        out_shape=jax.ShapeDtypeStruct((b * h, d_p, lq_p), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, d_p, lq_p), qt4.dtype),
         grid=((b * h) // group,),
         in_specs=[
             pl.BlockSpec((group, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -183,23 +195,23 @@ def _fused_attention_fwd_impl(q, k, v, interpret):
             transcendentals=(b * h) * lq_p * lk_p,
         ),
     )(qt, kt, vt)
-    return _from_t(out_t, b, h, lq, d)
+    return _unpad_t(out_t, b, h, lq, d)
 
 
 def _fused_attention_bwd(interpret, res, dout):
-    q, k, v = res
-    b, h, lq, lk, d, lq_p, lk_p, d_p = _dims(q, k)
+    qt4, kt4, vt4 = res
+    b, h, lq, lk, d, lq_p, lk_p, d_p = _dims_t(qt4, kt4)
     scale = 1.0 / (d**0.5)
-    qt, kt, vt = _to_t(q, lq_p, d_p), _to_t(k, lk_p, d_p), _to_t(v, lk_p, d_p)
-    dot_t = _to_t(dout, lq_p, d_p)
+    qt, kt, vt = _pad_t(qt4, lq_p, d_p), _pad_t(kt4, lk_p, d_p), _pad_t(vt4, lk_p, d_p)
+    dot_t = _pad_t(dout, lq_p, d_p)
     group = _pick_group(b * h, lq_p, lk_p, d_p, n_bufs=4)
 
     dqt, dkt, dvt = pl.pallas_call(
         functools.partial(_attn_bwd_kernel_t, scale=scale, l_kv=lk, group=group),
         out_shape=(
-            jax.ShapeDtypeStruct((b * h, d_p, lq_p), q.dtype),
-            jax.ShapeDtypeStruct((b * h, d_p, lk_p), k.dtype),
-            jax.ShapeDtypeStruct((b * h, d_p, lk_p), v.dtype),
+            jax.ShapeDtypeStruct((b * h, d_p, lq_p), qt4.dtype),
+            jax.ShapeDtypeStruct((b * h, d_p, lk_p), kt4.dtype),
+            jax.ShapeDtypeStruct((b * h, d_p, lk_p), vt4.dtype),
         ),
         grid=((b * h) // group,),
         in_specs=[
@@ -221,4 +233,4 @@ def _fused_attention_bwd(interpret, res, dout):
         ),
     )(qt, kt, vt, dot_t)
 
-    return (_from_t(dqt, b, h, lq, d), _from_t(dkt, b, h, lk, d), _from_t(dvt, b, h, lk, d))
+    return (_unpad_t(dqt, b, h, lq, d), _unpad_t(dkt, b, h, lk, d), _unpad_t(dvt, b, h, lk, d))
