@@ -10,7 +10,6 @@ matrix never round-trips to HBM.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

@@ -14,7 +14,6 @@ Works for pixel DDPM, DDPM ControlNet (pass hint), and latent LDM
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -22,8 +22,6 @@ Reference loop semantics reproduced (call stacks in SURVEY.md §3):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
