@@ -107,3 +107,11 @@ class EpochTimer:
         dt = time.time() - self.t0
         mean = float(np.mean(self.losses)) if self.losses else float("nan")
         return f"mean loss {mean:.4f} | {len(self.losses)} steps | {dt:.1f}s"
+
+
+def should_save_epoch(epoch_idx: int, num_epochs: int, every: int) -> bool:
+    """Checkpoint cadence: every N epochs and always on the last epoch.
+    The reference saves every epoch (train_ddpm.py:96); for small datasets
+    the per-epoch orbax save dominates the loop, so YAML can set
+    train_params.ckpt_save_every_epochs > 1."""
+    return (epoch_idx + 1) % max(every, 1) == 0 or (epoch_idx + 1) == num_epochs

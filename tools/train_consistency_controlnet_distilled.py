@@ -106,8 +106,9 @@ def train(args):
                                        jnp.int32(epoch_idx))
             timer.add(metrics.get("total_loss", metrics.get("consistency_loss")))
         print(f"Epoch {epoch_idx + 1} | {timer.summary()}")
-        save_checkpoint(task_name, CKPT_NAME, epoch_idx + 1,
-                        jax.device_get({"state": state, "ema": ema}))
+        if cli.should_save_epoch(epoch_idx, num_epochs, train_config.get("ckpt_save_every_epochs", 1)):
+            save_checkpoint(task_name, CKPT_NAME, epoch_idx + 1,
+                            jax.device_get({"state": state, "ema": ema}))
     print("Distillation training completed!")
 
 

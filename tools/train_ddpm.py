@@ -77,7 +77,8 @@ def train(args):
             state, loss = step(state, batch, step_key)
             timer.add(loss)
         print(f"Finished epoch:{epoch_idx + 1} | {timer.summary()}")
-        save_checkpoint(task_name, ckpt_name, epoch_idx + 1, jax.device_get(state))
+        if cli.should_save_epoch(epoch_idx, num_epochs, train_config.get("ckpt_save_every_epochs", 1)):
+            save_checkpoint(task_name, ckpt_name, epoch_idx + 1, jax.device_get(state))
     print("Done Training ...")
 
 

@@ -101,8 +101,9 @@ def train(args):
             state, loss = step(state, frozen, latents, hints, step_key)
             timer.add(loss)
         print(f"Finished epoch:{epoch_idx + 1} | {timer.summary()}")
-        save_checkpoint(task_name, ckpt_name, epoch_idx + 1,
-                        jax.device_get({"state": state, "frozen": frozen}))
+        if cli.should_save_epoch(epoch_idx, num_epochs, train_config.get("ckpt_save_every_epochs", 1)):
+            save_checkpoint(task_name, ckpt_name, epoch_idx + 1,
+                            jax.device_get({"state": state, "frozen": frozen}))
     print("Done Training ...")
 
 
