@@ -55,11 +55,17 @@ def canny_edges(
     images: jax.Array,
     low_threshold: int = 100,
     high_threshold: int = 200,
-    hysteresis_iters: int = 32,
+    hysteresis_iters: int | None = None,
 ) -> jax.Array:
     """Batched Canny. ``images``: (B, H, W) grayscale in [0, 255] (float or
     uint8). Returns float32 (B, H, W) edge maps with values {0, 255}.
+
+    ``hysteresis_iters`` defaults to an image-size-scaled count (each
+    iteration grows strong edges by 1 px through weak pixels; cv2 follows
+    chains to arbitrary length, so larger images need more iterations).
     """
+    if hysteresis_iters is None:
+        hysteresis_iters = min(128, max(32, max(images.shape[1], images.shape[2]) // 8))
     x = images.astype(jnp.float32)
 
     gx = _conv3x3(x, _SOBEL_X)

@@ -42,3 +42,14 @@ def test_canny_hints_contract():
     assert set(np.unique(hints)) <= {0.0, 1.0}
     np.testing.assert_array_equal(hints[..., 0], hints[..., 1])
     np.testing.assert_array_equal(hints[..., 0], hints[..., 2])
+
+
+def test_canny_hints_rgb_input():
+    """RGB inputs get luma-converted before canny (cifar path)."""
+    rng = np.random.default_rng(2)
+    img = _draw_shape(rng, 32, 1).astype(np.float32) / 255.0
+    rgb = np.stack([img, img * 0.8, img * 0.6], axis=-1)[None]
+    hints = np.asarray(canny_hints(jnp.asarray(rgb)))
+    assert hints.shape == (1, 32, 32, 3)
+    assert hints.sum() > 0  # found the shape edges
+    assert set(np.unique(hints)) <= {0.0, 1.0}
