@@ -91,7 +91,11 @@ def train(args):
     state = cli.put_replicated(state, mesh)
     ema = cli.put_replicated(ema, mesh)
     teacher = cli.put_replicated(teacher, mesh)
-    step = make_consistency_train_step(model, tx, mode=mode, total_epochs=num_epochs)
+    # NOTE: the reference trainer never passes epoch/total_epochs, so alpha
+    # stays fixed at 0.5 (train_consistency...py:103,129 — the progressive
+    # ramp exists only at library level, consistency_controlnet_distilled.py:
+    # 320-325). Pass total_epochs here to opt into the ramp.
+    step = make_consistency_train_step(model, tx, mode=mode, total_epochs=None)
 
     batch_size = train_config["batch_size"]
     for epoch_idx in range(start_epoch, num_epochs):
