@@ -175,7 +175,8 @@ def train(args):
             x0, hint = next(iterate_batches(val_ds, min(4, batch_size), shuffle=True,
                                             seed=epoch_idx))
             rows = [np.asarray((x0 + 1) / 2)]
-            for t_val in (50, 200, 500):
+            T = model.teacher_schedule.num_timesteps
+            for t_val in (min(50, T - 1), min(200, T - 1), min(500, T - 1)):
                 key, pkey = jax.random.split(key)
                 s_pred, t_pred = predict_pair(state.params, cli.put_batch(x0, mesh),
                                               cli.put_batch(hint, mesh), t_val, pkey)
