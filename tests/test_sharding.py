@@ -70,3 +70,15 @@ def test_batch_sharded_sampling(tiny_model_config):
     x0, traj = sampler(p_rep, jax.random.PRNGKey(1))
     assert x0.shape == (8, 8, 8, 1)
     assert np.all(np.isfinite(np.asarray(x0)))
+
+
+def test_shard_host_local_batch_single_host(tiny_model_config):
+    """Single-host path reduces to shard_batch."""
+    from controlnet_tpu.parallel.mesh import shard_host_local_batch
+
+    mesh = make_mesh()
+    x = jnp.arange(16.0).reshape(8, 2)
+    a = shard_host_local_batch(x, mesh)
+    b = shard_batch(x, mesh)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.sharding.is_equivalent_to(b.sharding, x.ndim)
