@@ -15,7 +15,7 @@ conv_in(x) + hint_block(hint); zero-conv'd control skips are added to the
 frozen skips feeding the frozen decoder; zero-conv'd control mids are added
 to the frozen mid outputs.  At init every zero conv outputs 0, so
 ControlNet(x, t, hint) == base UNet(x, t) exactly — the defining property,
-checked in tests/test_controlnet.py.
+checked in tests/test_models.py (zero-conv identity test).
 
 Parameter layout (one tree):
     {"trained_unet": ..., "control_unet": ..., "hint_block": ...,

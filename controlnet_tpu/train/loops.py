@@ -248,8 +248,9 @@ def make_dmd_train_step(model: DistributionMatchingDistilled, tx: optax.Gradient
     """step(state, teacher, features, x0, hint, key) -> (state, metrics).
 
     Reproduces DMDTrainer.train_epoch (train_distribution_matching...py:
-    143-204): t drawn uniformly but with 50% probability restricted to the
-    top quarter [0.75T, T); NaN-loss batches skipped (masked updates);
+    143-204): one coin per BATCH (np.random.rand(), a scalar — :156) decides
+    with p=0.5 whether all of the batch's t are drawn from the top quarter
+    [0.75T, T) or from [0, T); NaN-loss batches skipped (masked updates);
     gradient clipping to norm 1.0 belongs in ``tx`` (tool level)."""
 
     T = model.teacher_schedule.num_timesteps
@@ -259,7 +260,7 @@ def make_dmd_train_step(model: DistributionMatchingDistilled, tx: optax.Gradient
         kt1, kt2, kc, kn = jax.random.split(key, 4)
         t_hi = jax.random.randint(kt1, (b,), int(0.75 * T), T)
         t_lo = jax.random.randint(kt2, (b,), 0, T)
-        t = jnp.where(jax.random.uniform(kc, (b,)) < 0.5, t_hi, t_lo)
+        t = jnp.where(jax.random.uniform(kc, ()) < 0.5, t_hi, t_lo)
         noise = jax.random.normal(kn, x0.shape, x0.dtype)
         x_t = add_noise(model.teacher_schedule, x0, noise, t)
 
