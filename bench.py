@@ -10,6 +10,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   hardware the reference can run on in this environment; per-step model
   time extrapolated from a short run, per tools/compare_* methodology).
   If torch or the reference timing fails, falls back to null.
+* extras (same JSON line): the BASELINE north-star config — CelebHQ LDM
+  ControlNet 1000-step sampling samples/sec/chip and ms/step (batch 4,
+  1024^2 hints hoisted, bf16).  Skipped cleanly (key absent) if it cannot
+  run; set BENCH_SKIP_NORTH_STAR=1 to disable explicitly.
 """
 
 from __future__ import annotations
@@ -66,6 +70,52 @@ def bench_ours() -> float:
     return BATCH / dt
 
 
+def bench_north_star() -> dict | None:
+    """CelebHQ LDM ControlNet 1000-step sampling (the BASELINE north-star
+    config): batch 4, 32x32x4 latents, full-res 1024^2 canny hints with the
+    hint encoder hoisted out of the loop, bf16 compute.  Returns per-chip
+    throughput, or None when it cannot run (e.g. wedged chip / OOM) so the
+    primary metric still reports."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from controlnet_tpu.models.controlnet import ControlNet
+        from controlnet_tpu.sample.ddpm import make_ddpm_sampler
+        from controlnet_tpu.schedules.linear import make_linear_schedule
+
+        ldm_mp = dict(
+            hint_channels=3, down_channels=[256, 384, 512, 768],
+            mid_channels=[768, 512], down_sample=[True, True, True],
+            attn_down=[True, True, True], time_emb_dim=512, norm_channels=32,
+            num_heads=16, conv_out_channels=128,
+            num_down_layers=2, num_mid_layers=2, num_up_layers=2,
+        )
+        nb = 4
+        sched = make_linear_schedule(STEPS, 0.0015, 0.0195, ldm_scheduler=True)
+        cn = ControlNet(4, ldm_mp, model_locked=True, down_sample_factor=32)
+        params = cn.init(jax.random.PRNGKey(0))
+        hint = jnp.zeros((nb, 1024, 1024, 3))
+        feats = jax.jit(cn.hint_features)(params, hint)
+        sampler = make_ddpm_sampler(
+            lambda p, x, t, f: cn(p, x, t, hint_features=f),
+            sched, (nb, 32, 32, 4), record_every=STEPS,
+            compute_dtype=jnp.bfloat16,
+        )
+        jax.block_until_ready(sampler(params, jax.random.PRNGKey(1), feats)[0])
+        t0 = time.time()
+        x0, _ = sampler(params, jax.random.PRNGKey(2), feats)
+        jax.block_until_ready(x0)
+        dt = time.time() - t0
+        return {
+            "ldm_controlnet_samples_per_sec_chip": round(nb / dt, 4),
+            "ldm_controlnet_ms_per_step": round(1000.0 * dt / STEPS, 3),
+        }
+    except Exception as e:  # pragma: no cover
+        print(f"# north-star bench unavailable: {e}", file=sys.stderr)
+        return None
+
+
 def bench_reference_torch() -> float | None:
     """Reference UNet per-step time on this host's torch (CPU), extrapolated
     to the full loop.  Imports the reference package read-only."""
@@ -107,14 +157,20 @@ def bench_reference_torch() -> float | None:
 
 def main():
     ours = bench_ours()
+    north = None if os.environ.get("BENCH_SKIP_NORTH_STAR") == "1" else bench_north_star()
     ref = bench_reference_torch()
     vs = (ours / ref) if ref else None
-    print(json.dumps({
+    record = {
         "metric": f"MNIST DDPM {STEPS}-step sampling throughput (batch {BATCH})",
         "value": round(ours, 4),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    }
+    if north:
+        # North-star config (BASELINE.md): CelebHQ LDM ControlNet 1000-step
+        # sampling, batch 4, full-res hints, bf16 — same JSON line.
+        record["extras"] = north
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
