@@ -186,3 +186,44 @@ class ControlNet:
         # Frozen decoder with summed skips (controlnet.py:210-218).
         skips = [f + c for f, c in zip(f_down_outs, c_down_outs)]
         return unet.decode(p["trained_unet"], m_out, skips, f_t_emb)
+
+    def forward_tl(self, p: Params, x: jax.Array, t: jax.Array,
+                   hint: jax.Array | None = None,
+                   hint_features: jax.Array | None = None) -> jax.Array:
+        """Transposed-layout forward (same math as __call__; see UNet TL
+        docs).  The hint encoder stays NHWC — it runs once per sampling loop
+        (hoisted via ``hint_features``), not per step."""
+        from controlnet_tpu.ops.tl_conv import conv1x1_tl, to_tl
+
+        unet, ctrl = self.unet, self.control_unet
+
+        fp = jax.lax.stop_gradient(p["trained_unet"])
+        f_t_emb = unet.time_embed(fp, t)
+        f_out, hw0 = unet.stem_tl(fp, x)
+        f_out, f_down_outs, hws, hw = unet.encode_tl(fp, f_out, f_t_emb, hw0)
+
+        c_t_emb = ctrl.time_embed(p["control_unet"], t)
+        if hint_features is None:
+            assert hint is not None, "pass hint or precomputed hint_features"
+            hint_features = self.hint_block(p["hint_block"], hint)
+        c_out, _ = ctrl.stem_tl(p["control_unet"], x)
+        c_out = c_out + to_tl(hint_features)
+
+        c_down_outs = []
+        c_hw = hw0
+        for i, (blk, bp) in enumerate(zip(ctrl.downs, p["control_unet"]["downs"])):
+            zp = p["down_zero"][i]
+            c_down_outs.append(conv1x1_tl(zp["w"], zp.get("b"), c_out))
+            c_out = blk.tl(bp, c_out, c_t_emb, hw=c_hw)
+            if unet.down_sample[i]:
+                c_hw = (c_hw[0] // 2, c_hw[1] // 2)
+
+        m_out = f_out
+        for i in range(len(unet.mids)):
+            c_out = ctrl.mid_stage_tl(p["control_unet"], i, c_out, c_t_emb, c_hw)
+            m_out = unet.mid_stage_tl(p["trained_unet"], i, m_out, f_t_emb, hw)
+            zp = p["mid_zero"][i]
+            m_out = m_out + conv1x1_tl(zp["w"], zp.get("b"), c_out)
+
+        skips = [f + c for f, c in zip(f_down_outs, c_down_outs)]
+        return unet.decode_tl(p["trained_unet"], m_out, skips, hws, f_t_emb, hw)

@@ -212,6 +212,75 @@ class UNet:
         return self.conv_out(p["conv_out"], out)
 
     # ------------------------------------------------------------------
+    # transposed-layout (TL) staged forward — the channel-padding fix
+    # (ops/tl_conv.py).  Activations are (C, B, L); spatial dims are
+    # tracked statically alongside.  Numerics == the NHWC path
+    # (tests/test_tl_parity.py), which in turn matches torch
+    # (tests/test_torch_parity.py).
+    # ------------------------------------------------------------------
+    def stem_tl(self, p: Params, x: jax.Array, cond_input=None):
+        """NHWC input -> (TL features, hw).  Image conditioning is merged in
+        NHWC (it is a one-time 1x1 conv + resize, unet_cond_base.py:132-145)."""
+        from controlnet_tpu.ops.tl_conv import to_tl
+
+        hw = (x.shape[1], x.shape[2])
+        if self.image_cond:
+            cfg.validate_image_conditional_input(cond_input, x)
+            im_cond = cond_input["image"]
+            im_cond = jax.image.resize(
+                im_cond, (im_cond.shape[0], x.shape[1], x.shape[2], im_cond.shape[3]), "nearest"
+            )
+            im_cond = self.cond_conv_in(p["cond_conv_in"], im_cond)
+            x = jnp.concatenate([x, im_cond], axis=-1)
+        return self.conv_in.tl(p["conv_in"], to_tl(x), hw), hw
+
+    def encode_tl(self, p: Params, out: jax.Array, t_emb, hw, context=None):
+        """Down path in TL.  Returns (out, skips, hws, hw_out); skips[i] and
+        hws[i] are the input feature/grid of down block i (the skip contract,
+        unet_base.py:354-358)."""
+        down_outs, hws = [], []
+        for i, (blk, bp) in enumerate(zip(self.downs, p["downs"])):
+            down_outs.append(out)
+            hws.append(hw)
+            out = blk.tl(bp, out, t_emb, context, hw=hw)
+            if self.down_sample[i]:
+                hw = (hw[0] // 2, hw[1] // 2)
+        return out, down_outs, hws, hw
+
+    def mid_stage_tl(self, p: Params, i: int, out, t_emb, hw, context=None):
+        return self.mids[i].tl(p["mids"][i], out, t_emb, context, hw=hw)
+
+    def decode_tl(self, p: Params, out, down_outs: list, hws: list, t_emb,
+                  hw, context=None) -> jax.Array:
+        """Up path in TL; returns NHWC output."""
+        from controlnet_tpu.ops.tl_conv import from_tl
+
+        down_outs, hws = list(down_outs), list(hws)
+        for blk, bp in zip(self.ups, p["ups"]):
+            skip, skip_hw = down_outs.pop(), hws.pop()
+            out = blk.tl(bp, out, skip, t_emb, context, hw=hw)
+            hw = skip_hw
+        out = silu(self.norm_out.tl(p["norm_out"], out))
+        out = self.conv_out.tl(p["conv_out"], out, hw)
+        return from_tl(out, hw)
+
+    def forward_tl(self, p: Params, x: jax.Array, t: jax.Array, cond_input=None) -> jax.Array:
+        """Full forward in transposed layout (NHWC in/out).  Preferred for
+        sampling loops: physical/logical FLOP ratio ~1.4x vs 4.7x NHWC."""
+        if self.cond:
+            assert cond_input is not None, "model initialized with conditioning; cond_input required"
+        out, hw = self.stem_tl(p, x, cond_input)
+        t_emb = self.time_embed(p, t)
+        if self.class_cond:
+            cfg.validate_class_conditional_input(cond_input, x, self.num_classes)
+            t_emb = t_emb + jnp.dot(cond_input["class"].astype(t_emb.dtype), p["class_emb"])
+        context = cond_input.get("text") if (self.text_cond and cond_input is not None) else None
+        out, down_outs, hws, hw = self.encode_tl(p, out, t_emb, hw, context)
+        for i in range(len(self.mids)):
+            out = self.mid_stage_tl(p, i, out, t_emb, hw, context)
+        return self.decode_tl(p, out, down_outs, hws, t_emb, hw, context)
+
+    # ------------------------------------------------------------------
     # full forward
     # ------------------------------------------------------------------
     def __call__(self, p: Params, x: jax.Array, t: jax.Array, cond_input=None) -> jax.Array:

@@ -70,6 +70,15 @@ class _ResnetLayer:
         h = self.conv2(p["conv2"], silu(self.norm2(p["norm2"], h)))
         return h + self.skip(p["skip"], x)
 
+    def tl(self, p: Params, x: jax.Array, t_emb: jax.Array | None,
+           hw: tuple[int, int]) -> jax.Array:
+        """Transposed-layout forward: x is (C, B, L) (ops/tl_conv.py)."""
+        h = self.conv1.tl(p["conv1"], silu(self.norm1.tl(p["norm1"], x)), hw)
+        if self.t_emb_dim is not None:
+            h = h + self.t_proj(p["t_proj"], silu(t_emb)).T[:, :, None]
+        h = self.conv2.tl(p["conv2"], silu(self.norm2.tl(p["norm2"], h)), hw)
+        return h + self.skip.tl(p["skip"], x, hw)
+
 
 class _AttnLayer:
     """GroupNorm + multi-head self/cross attention over flattened tokens,
@@ -100,6 +109,18 @@ class _AttnLayer:
         else:
             out = self.attn(p["attn"], tokens)
         return x + out.reshape(b, h, w, c)
+
+    def tl(self, p: Params, x: jax.Array, context: jax.Array | None = None) -> jax.Array:
+        """Transposed-layout forward: x is (C, B, L); tokens are already the
+        lane axis, so no reshapes are needed around the attention op."""
+        tokens = self.norm.tl(p["norm"], x)
+        if self.context_dim is not None:
+            assert context is not None, "context required for cross attention"
+            kv = self.ctx_proj(p["ctx_proj"], context)
+            out = self.attn.tl(p["attn"], tokens, kv)
+        else:
+            out = self.attn.tl(p["attn"], tokens)
+        return x + out
 
 
 class DownBlock:
@@ -163,6 +184,22 @@ class DownBlock:
                 out = self.xattns[i](p["xattns"][i], out, context)
         return self.down(p["down"], out)
 
+    def tl(self, p: Params, x: jax.Array, t_emb=None, context=None,
+           hw: tuple[int, int] = None) -> jax.Array:
+        """Transposed-layout forward on (C, B, L).  If this block
+        downsamples, the output grid is (hw[0]//2, hw[1]//2) — tracked
+        statically by the caller."""
+        out = x
+        for i in range(self.num_layers):
+            out = self.resnets[i].tl(p["resnets"][i], out, t_emb, hw)
+            if self.attn:
+                out = self.attns[i].tl(p["attns"][i], out)
+            if self.cross_attn:
+                out = self.xattns[i].tl(p["xattns"][i], out, context)
+        if isinstance(self.down, Identity):
+            return out
+        return self.down.tl(p["down"], out, hw)
+
 
 class MidBlock:
     """resnet, then num_layers x [self-attn, (cross-attn), resnet]
@@ -216,6 +253,17 @@ class MidBlock:
             if self.cross_attn:
                 out = self.xattns[i](p["xattns"][i], out, context)
             out = self.resnets[i + 1](p["resnets"][i + 1], out, t_emb)
+        return out
+
+    def tl(self, p: Params, x: jax.Array, t_emb=None, context=None,
+           hw: tuple[int, int] = None) -> jax.Array:
+        """Transposed-layout forward on (C, B, L)."""
+        out = self.resnets[0].tl(p["resnets"][0], x, t_emb, hw)
+        for i in range(self.num_layers):
+            out = self.attns[i].tl(p["attns"][i], out)
+            if self.cross_attn:
+                out = self.xattns[i].tl(p["xattns"][i], out, context)
+            out = self.resnets[i + 1].tl(p["resnets"][i + 1], out, t_emb, hw)
         return out
 
 
@@ -293,4 +341,25 @@ class UpBlock:
                 out = self.attns[i](p["attns"][i], out)
             if self.cross_attn:
                 out = self.xattns[i](p["xattns"][i], out, context)
+        return out
+
+    def tl(self, p: Params, x: jax.Array, out_down: jax.Array | None = None,
+           t_emb=None, context=None, hw: tuple[int, int] = None) -> jax.Array:
+        """Transposed-layout forward.  ``hw`` is the PRE-upsample grid; when
+        this block upsamples, resnets (and the skip concat) run at
+        (2*hw[0], 2*hw[1]) — the caller tracks the doubled grid statically."""
+        if isinstance(self.up, Identity):
+            hw_out = hw
+        else:
+            x = self.up.tl(p["up"], x, hw)
+            hw_out = (hw[0] * 2, hw[1] * 2)
+        if out_down is not None:
+            x = jnp.concatenate([x, out_down], axis=0)
+        out = x
+        for i in range(self.num_layers):
+            out = self.resnets[i].tl(p["resnets"][i], out, t_emb, hw_out)
+            if self.attn:
+                out = self.attns[i].tl(p["attns"][i], out)
+            if self.cross_attn:
+                out = self.xattns[i].tl(p["xattns"][i], out, context)
         return out

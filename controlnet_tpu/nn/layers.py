@@ -104,6 +104,23 @@ class Conv2d:
             out = out + p["b"].astype(jnp.float32)
         return out.astype(x.dtype)
 
+    def tl(self, p: Params, x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+        """Transposed-layout forward on (C, B, L) activations (ops/tl_conv.py
+        — the channel-padding fix).  Strided 4/2/1 convs halve hw; the
+        caller tracks spatial dims statically."""
+        from controlnet_tpu.ops import tl_conv
+
+        b = p.get("b") if self.use_bias else None
+        if self.kernel_size == 3 and self.stride == 1 and self.padding == 1:
+            return tl_conv.conv3x3_tl(p["w"], b, x, hw)
+        if self.kernel_size == 1 and self.stride == 1:
+            return tl_conv.conv1x1_tl(p["w"], b, x)
+        if self.kernel_size == 4 and self.stride == 2 and self.padding == 1:
+            return tl_conv.downconv4_tl(p["w"], b, x, hw)
+        # Rare shapes: round-trip through NHWC (correct, not hot).
+        out = self(p, tl_conv.from_tl(x, hw))
+        return tl_conv.to_tl(out)
+
 
 class ConvTranspose2d:
     """Transposed conv matching torch ConvTranspose2d(k=4, s=2, p=1) shape
@@ -141,6 +158,13 @@ class ConvTranspose2d:
         )
         out = out + p["b"].astype(jnp.float32)
         return out.astype(x.dtype)
+
+    def tl(self, p: Params, x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+        """(C, B, L) -> (C_out, B, 4L): 2x upsample in transposed layout."""
+        from controlnet_tpu.ops import tl_conv
+
+        assert (self.kernel_size, self.stride, self.padding) == (4, 2, 1)
+        return tl_conv.upconvT4_tl(p["w"], p["b"], x, hw)
 
 
 class Linear:
@@ -195,6 +219,12 @@ class GroupNorm:
         xf = xf.reshape(x.shape)
         out = xf * p["scale"] + p["bias"]
         return out.astype(orig_dtype)
+
+    def tl(self, p: Params, x: jax.Array) -> jax.Array:
+        """GroupNorm on (C, B, L) activations — same stats, channel-first."""
+        from controlnet_tpu.ops.tl_conv import group_norm_tl
+
+        return group_norm_tl(p["scale"], p["bias"], x, self.num_groups, self.eps)
 
 
 class BatchNorm:
@@ -281,6 +311,30 @@ class MultiheadAttention:
                                        self.num_heads)
         out = jnp.einsum("bdl,dc->blc", out_t, p["wo"].astype(dt),
                          preferred_element_type=jnp.float32) + p["bo"]
+        return out.astype(dt)
+
+    def tl(self, p: Params, x_tl: jax.Array, kv_in: jax.Array | None = None) -> jax.Array:
+        """Attention on transposed-layout tokens (C, B, L) -> (C, B, L).
+        ``kv_in`` (cross attention) stays (B, L_ctx, C_ctx)."""
+        from controlnet_tpu.ops.attention import multi_head_attention_t
+
+        dt = x_tl.dtype
+        qt = jnp.einsum("cbl,cd->bdl", x_tl, p["wq"].astype(dt),
+                        preferred_element_type=jnp.float32) + p["bq"][None, :, None]
+        if kv_in is None:
+            kt = jnp.einsum("cbl,cd->bdl", x_tl, p["wk"].astype(dt),
+                            preferred_element_type=jnp.float32) + p["bk"][None, :, None]
+            vt = jnp.einsum("cbl,cd->bdl", x_tl, p["wv"].astype(dt),
+                            preferred_element_type=jnp.float32) + p["bv"][None, :, None]
+        else:
+            kt = jnp.einsum("blc,cd->bdl", kv_in, p["wk"].astype(dt),
+                            preferred_element_type=jnp.float32) + p["bk"][None, :, None]
+            vt = jnp.einsum("blc,cd->bdl", kv_in, p["wv"].astype(dt),
+                            preferred_element_type=jnp.float32) + p["bv"][None, :, None]
+        out_t = multi_head_attention_t(qt.astype(dt), kt.astype(dt), vt.astype(dt),
+                                       self.num_heads)
+        out = jnp.einsum("bdl,dc->cbl", out_t, p["wo"].astype(dt),
+                         preferred_element_type=jnp.float32) + p["bo"][:, None, None]
         return out.astype(dt)
 
 

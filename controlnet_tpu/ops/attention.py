@@ -96,7 +96,7 @@ def multi_head_attention_t(qt: jax.Array, kt: jax.Array, vt: jax.Array,
     return out.transpose(0, 1, 3, 2).reshape(b, dm, lq)
 
 
-def _fits_vmem_t(lq: int, lk: int, dh: int, budget_bytes: int = 10 * 1024 * 1024) -> bool:
+def _fits_vmem_t(lq: int, lk: int, dh: int, budget_bytes: int = 64 * 1024 * 1024) -> bool:
     def rup(x, m=128):
         return ((x + m - 1) // m) * m
 
@@ -107,7 +107,7 @@ def _fits_vmem_t(lq: int, lk: int, dh: int, budget_bytes: int = 10 * 1024 * 1024
     return blocks + scores < budget_bytes
 
 
-def _fits_vmem(qh: jax.Array, kh: jax.Array, budget_bytes: int = 10 * 1024 * 1024) -> bool:
+def _fits_vmem(qh: jax.Array, kh: jax.Array, budget_bytes: int = 64 * 1024 * 1024) -> bool:
     """One (batch, head) slice must fit VMEM: transposed q/k/v/out blocks
     (head_dim on sublanes) plus the (Lq, Lk) score matrix and its exp
     intermediate, all float32."""

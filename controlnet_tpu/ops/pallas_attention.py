@@ -26,35 +26,54 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_kv: int, group: int):
+def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_q: int,
+                   l_kv: int, group: int):
     """Each program handles ``group`` (batch, head) slices via an in-kernel
     loop — amortizing per-grid-step overhead (dominant at these tiny
     per-slice shapes) while keeping only one (Lq, Lk) score matrix live in
-    VMEM at a time."""
+    VMEM at a time.
+
+    The softmax is VPU-pass-bound at these sizes, so two passes are removed
+    analytically instead of masked:
+    * k is zero-padded on its Lk pad lanes, so pad columns contribute a
+      score of exactly 0; the row max only needs max(scores, 0) for
+      stability, and the pad columns' contribution to the denominator is
+      exactly n_pad * exp(-m) — subtracted in scalar-per-row work instead
+      of a (Lq, Lk) mask pass.
+    * v is zero-padded too, so pad columns never reach the output matmul.
+    * only the l_q valid rows (sublane granule 8) enter the softmax.
+    """
+    lq_p = q_ref.shape[2]
+    lk_p = k_ref.shape[2]
+    n_pad = lk_p - l_kv
+    rows = l_q if (l_q % 8 == 0) else lq_p
 
     def body(g, _):
         q = q_ref[g].astype(jnp.float32)  # (dh_p, Lq_p)
         k = k_ref[g].astype(jnp.float32)  # (dh_p, Lk_p)
         v = v_ref[g].astype(jnp.float32)
 
-        # scores (Lq_p, Lk_p): contract the head dim (sublane axis, unpadded)
+        # scores (rows, Lk_p): contract the head dim (sublane axis, unpadded)
         scores = jax.lax.dot_general(
-            q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            q[:, :rows], k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
-        scores = jnp.where(col < l_kv, scores, -1e30)
 
-        m = jnp.max(scores, axis=-1, keepdims=True)
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), 0.0)
         e = jnp.exp(scores - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        if n_pad:
+            denom = denom - n_pad * jnp.exp(-m)
+        probs = e / denom
 
-        # out_t (dh_p, Lq_p): contract L_k (lane axis)
-        o_ref[g] = jax.lax.dot_general(
+        # out_t (dh_p, rows): contract L_k (lane axis)
+        o_ref[g, :, :rows] = jax.lax.dot_general(
             v, probs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
         return 0
@@ -66,7 +85,14 @@ def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                        *, scale: float, l_kv: int, group: int):
     """Backward: recompute probs (cheap at these sizes, avoids storing the
     (Lq, Lk) matrix as a residual), then the standard softmax-attention
-    gradients, all in the transposed (head_dim, L) layout."""
+    gradients, all in the transposed (head_dim, L) layout.
+
+    Uses the same maskless softmax as the forward (k/v zero-padded, pad
+    columns' denominator share subtracted analytically) so the recomputed
+    probs match the forward bit-for-bit.  Pad columns of probs are nonzero
+    but harmless: dv/dk pad lanes are sliced away by the caller, dp is 0
+    there (v = 0), and dq contracts against k = 0."""
+    n_pad = k_ref.shape[2] - l_kv
 
     def body(g, _):
         q = q_ref[g].astype(jnp.float32)   # (d_p, Lq_p)
@@ -77,11 +103,12 @@ def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         scores = jax.lax.dot_general(
             q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
-        scores = jnp.where(col < l_kv, scores, -1e30)
-        m = jnp.max(scores, axis=-1, keepdims=True)
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), 0.0)
         e = jnp.exp(scores - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (Lq_p, Lk_p)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        if n_pad:
+            denom = denom - n_pad * jnp.exp(-m)
+        probs = e / denom  # (Lq_p, Lk_p)
 
         # dV_t (d, Lk) = dO_t (d, Lq) @ P (Lq, Lk)
         dv_ref[g] = jax.lax.dot_general(
@@ -123,12 +150,19 @@ def _unpad_t(xt, b, h, l, d):
     return xt[:, :d, :l].reshape(b, h, d, l)
 
 
+# v5e has 128 MiB of VMEM per core; leave headroom for Mosaic temporaries
+# and the double-buffered pipeline.  A small budget is the round-1 mistake
+# that forced group=1 -> hundreds of latency-bound grid steps per layer
+# (measured 5x slowdown in-model).
+_VMEM_BUDGET = int(os.environ.get("CONTROLNET_TPU_ATTN_VMEM", 64 * 1024 * 1024))
+
+
 def _pick_group(bh: int, lq_p: int, lk_p: int, d_p: int, n_bufs: int) -> int:
-    """Largest divisor of bh whose blocks + one live score matrix fit VMEM."""
-    budget = 10 * 1024 * 1024
+    """Largest divisor of bh whose double-buffered blocks + live score
+    matrices fit the VMEM budget."""
     scores_bytes = 3 * lq_p * lk_p * 4
-    per_slice = n_bufs * (lq_p + lk_p) * d_p * 4
-    group = max(1, min(bh, (budget - scores_bytes) // max(per_slice, 1)))
+    per_slice = 2 * n_bufs * (lq_p + lk_p) * d_p * 4  # x2: double buffering
+    group = max(1, min(bh, (_VMEM_BUDGET - scores_bytes) // max(per_slice, 1)))
     while bh % group != 0:
         group -= 1
     return group
@@ -179,7 +213,7 @@ def _fused_attention_fwd_impl(qt4, kt4, vt4, interpret):
     group = _pick_group(b * h, lq_p, lk_p, d_p, n_bufs=2)
 
     out_t = pl.pallas_call(
-        functools.partial(_attn_kernel_t, scale=scale, l_kv=lk, group=group),
+        functools.partial(_attn_kernel_t, scale=scale, l_q=lq, l_kv=lk, group=group),
         out_shape=jax.ShapeDtypeStruct((b * h, d_p, lq_p), qt4.dtype),
         grid=((b * h) // group,),
         in_specs=[
@@ -188,6 +222,10 @@ def _fused_attention_fwd_impl(qt4, kt4, vt4, interpret):
             pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((group, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * (b * h) * (lq_p * lk_p * d_p * 2),
@@ -224,6 +262,10 @@ def _fused_attention_bwd(interpret, res, dout):
             pl.BlockSpec((group, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

@@ -1,0 +1,254 @@
+"""Fidelity-parity experiment: train the torch REFERENCE stack and THIS
+stack on identical data + config, sample both, and compare sample-quality
+metrics (VERDICT.md item 3; protocol per BASELINE.md and
+/root/reference/tools/compare_all_controlnet_models.py:236-262).
+
+No real MNIST exists in this offline environment, so both stacks train on
+an identical synthetic shape dataset (data/synthetic.py) — 4 classes of
+geometric shapes at 28x28, the same image contract as MNIST.  The model is
+a scaled-down base UNet (down [16,32,64]) so the torch reference can train
+in minutes on this host's single CPU core; every diffusion hyperparameter
+(T=1000, beta schedule, lr, batch) matches config/mnist.yaml.
+
+Stages (each resumable, state in fidelity_ws/):
+  python scripts/fidelity_parity.py data          # build the shared dataset
+  python scripts/fidelity_parity.py ref           # train + sample reference (torch CPU)
+  python scripts/fidelity_parity.py ours          # train + sample this stack
+  python scripts/fidelity_parity.py eval          # metrics table (tools/eval_metrics.py)
+
+The reference is imported READ-ONLY from /root/reference (same pattern as
+bench.py's baseline timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+WS = os.path.join(REPO, "fidelity_ws")
+N_SAMPLES = int(os.environ.get("FIDELITY_N", "128"))
+EPOCHS = int(os.environ.get("FIDELITY_EPOCHS", "12"))
+SAMPLE_BATCH = 64
+IM_SIZE = int(os.environ.get("FIDELITY_IM_SIZE", "16"))
+PER_CLASS = int(os.environ.get("FIDELITY_PER_CLASS", "256"))
+
+CONFIG = {
+    "dataset_params": {
+        "task_name": "mnist",
+        "im_path": os.path.join(WS, "data", "train"),
+        "im_test_path": os.path.join(WS, "data", "test"),
+        "canny_im_size": IM_SIZE,
+    },
+    "diffusion_params": {"num_timesteps": 1000, "beta_start": 0.0001, "beta_end": 0.02},
+    "model_params": {
+        # scaled to what the torch reference can train+sample on this
+        # host's single CPU core in well under an hour; all diffusion
+        # hyperparameters match config/mnist.yaml
+        "im_channels": 1, "im_size": IM_SIZE, "hint_channels": 3,
+        "down_channels": [16, 32], "mid_channels": [32, 16],
+        "down_sample": [True], "time_emb_dim": 32,
+        "num_down_layers": 1, "num_mid_layers": 1, "num_up_layers": 1,
+        "num_heads": 4,
+    },
+    "train_params": {
+        "task_name": None,  # per-stack, set below
+        "batch_size": 64, "num_epochs": EPOCHS, "num_samples": 25,
+        "num_grid_rows": 5, "ddpm_lr": 0.0001,
+        "ddpm_ckpt_name": "ddpm_ckpt.pth", "seed": 0,
+    },
+}
+
+
+def _write_config(task_dir: str) -> str:
+    import copy
+
+    import yaml
+
+    cfg = copy.deepcopy(CONFIG)
+    cfg["train_params"]["task_name"] = task_dir
+    path = os.path.join(WS, os.path.basename(task_dir) + ".yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+def stage_data():
+    from controlnet_tpu.data.synthetic import make_synthetic_image_tree
+
+    make_synthetic_image_tree(os.path.join(WS, "data", "train"),
+                              num_classes=4, per_class=PER_CLASS, size=IM_SIZE, seed=0)
+    make_synthetic_image_tree(os.path.join(WS, "data", "test"),
+                              num_classes=4, per_class=64, size=IM_SIZE, seed=1)
+    print("dataset ready:", WS)
+
+
+def _save_pngs(arr01, out_dir: str):
+    import numpy as np
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, im in enumerate(arr01):
+        Image.fromarray((np.clip(im[..., 0], 0, 1) * 255).astype("uint8"), "L").save(
+            os.path.join(out_dir, f"{i:04d}.png"))
+
+
+def stage_ref():
+    """Train + sample the torch reference (read-only import, CPU)."""
+    import importlib.util
+
+    import numpy as np
+    import torch
+
+    # torchvision is not installed; the reference only uses
+    # transforms.ToTensor (dataset/mnist_dataset.py:51,62) — shim it.
+    import types as _types
+
+    if "torchvision" not in sys.modules:
+        tv = _types.ModuleType("torchvision")
+        tf = _types.ModuleType("torchvision.transforms")
+
+        class ToTensor:
+            def __call__(self, im):
+                arr = np.asarray(im, dtype=np.float32) / 255.0
+                if arr.ndim == 2:
+                    arr = arr[None]
+                else:
+                    arr = arr.transpose(2, 0, 1)
+                return torch.from_numpy(arr)
+
+        tf.ToTensor = ToTensor
+        tv.transforms = tf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tf
+
+    sys.path.insert(0, "/root/reference")
+    # the reference uses train_params.task_name both as dataset selector AND
+    # output directory (train_ddpm.py:41-46,58) — run from a scratch cwd so
+    # its "mnist/" output tree lands inside the workspace.
+    run_dir = os.path.join(WS, "ref_run")
+    os.makedirs(run_dir, exist_ok=True)
+    os.chdir(run_dir)
+    task = os.path.join(run_dir, "mnist")
+    cfg_path = _write_config("mnist")
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_train_ddpm", "/root/reference/tools/train_ddpm.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    ckpt = os.path.join(task, "ddpm_ckpt.pth")
+    if not os.path.exists(ckpt):
+        torch.manual_seed(0)
+
+        class Args:
+            config_path = cfg_path
+
+        mod.train(Args())
+    print("reference training done")
+
+    # ---- sample without the reference's per-step PNG host loop (the math
+    # is identical to tools/sample_ddpm.py:18-42; artifacts are final x0s)
+    from models.unet_base import Unet  # reference, read-only
+    from scheduler.linear_noise_scheduler import LinearNoiseScheduler
+
+    model = Unet(CONFIG["model_params"]).eval()
+    model.load_state_dict(torch.load(ckpt, map_location="cpu"))
+    sched = LinearNoiseScheduler(1000, 0.0001, 0.02)
+    torch.manual_seed(1)
+    outs = []
+    with torch.no_grad():
+        for b0 in range(0, N_SAMPLES, SAMPLE_BATCH):
+            nb = min(SAMPLE_BATCH, N_SAMPLES - b0)
+            xt = torch.randn(nb, 1, IM_SIZE, IM_SIZE)
+            for i in reversed(range(1000)):
+                noise_pred = model(xt, torch.as_tensor(i).unsqueeze(0))
+                xt, _ = sched.sample_prev_timestep(xt, noise_pred, torch.as_tensor(i))
+            outs.append(((xt.clamp(-1, 1) + 1) / 2).permute(0, 2, 3, 1).numpy())
+            print(f"ref sampled {b0 + nb}/{N_SAMPLES}", flush=True)
+    _save_pngs(np.concatenate(outs), os.path.join(WS, "ref_samples"))
+    print("reference samples written")
+
+
+def stage_ours():
+    """Train + sample this stack on the same data/config."""
+    import types
+
+    os.environ.setdefault("XLA_FLAGS", "--xla_cpu_parallel_codegen_split_count=1")
+    import jax
+    import numpy as np
+
+    task = os.path.join(WS, "ours_task")
+    cfg_path = _write_config(task)
+    from controlnet_tpu.io.checkpoint import latest_checkpoint
+    from tools.train_ddpm import train
+
+    if latest_checkpoint(task, "ddpm_ckpt.pth") != EPOCHS:
+        train(types.SimpleNamespace(config_path=cfg_path))
+    print("our training done")
+
+    from controlnet_tpu.models.unet import UNet
+    from controlnet_tpu.sample.ddpm import make_ddpm_sampler
+    from controlnet_tpu.schedules.linear import make_linear_schedule
+    from tools.sample_ddpm import load_unet_params
+
+    unet = UNet(1, CONFIG["model_params"])
+    params = load_unet_params(task, "ddpm_ckpt.pth", unet)
+    sched = make_linear_schedule(1000, 0.0001, 0.02)
+    outs = []
+    for b0 in range(0, N_SAMPLES, SAMPLE_BATCH):
+        nb = min(SAMPLE_BATCH, N_SAMPLES - b0)
+        sampler = make_ddpm_sampler(lambda p, x, t: unet(p, x, t), sched,
+                                    (nb, IM_SIZE, IM_SIZE, 1), record_every=1000)
+        x0, _ = sampler(params, jax.random.PRNGKey(100 + b0))
+        outs.append((np.clip(np.asarray(x0), -1, 1) + 1) / 2)
+        print(f"ours sampled {b0 + nb}/{N_SAMPLES}", flush=True)
+    _save_pngs(np.concatenate(outs), os.path.join(WS, "ours_samples"))
+    print("our samples written")
+
+
+def stage_eval():
+    os.environ.setdefault("XLA_FLAGS", "--xla_cpu_parallel_codegen_split_count=1")
+    import numpy as np
+
+    from tools.eval_metrics import evaluate, load_images
+
+    train_imgs = load_images(os.path.join(WS, "data", "train", "0"), 1)
+    # pool all classes
+    for cls in ("1", "2", "3"):
+        train_imgs = np.concatenate(
+            [train_imgs, load_images(os.path.join(WS, "data", "train", cls), 1)])
+    ref = load_images(os.path.join(WS, "ref_samples"), 1)
+    ours = load_images(os.path.join(WS, "ours_samples"), 1)
+
+    rows = {}
+    rows["ffd_ref_vs_train"] = evaluate(ref, train_imgs, 1)["ffd"]
+    rows["ffd_ours_vs_train"] = evaluate(ours, train_imgs, 1)["ffd"]
+    rows["ffd_ours_vs_ref"] = evaluate(ours, ref, 1)["ffd"]
+    h = len(ref) // 2
+    rows["ffd_noise_floor_ref_halves"] = evaluate(ref[:h], ref[h:], 1)["ffd"]
+    rows["ffd_noise_floor_ours_halves"] = evaluate(ours[:h], ours[h:], 1)["ffd"]
+    n = min(len(ours), len(ref))
+    rows["lpips_ours_vs_ref"] = evaluate(ours[:n], ref[:n], 1)["lpips_mean"]
+    rows["n_samples"] = n
+    rows["epochs"] = EPOCHS
+    out = os.path.join(WS, "fidelity_results.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=2)
+    print(json.dumps(rows, indent=2))
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    os.makedirs(WS, exist_ok=True)
+    stage = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if stage in ("data", "all"):
+        stage_data()
+    if stage in ("ref", "all"):
+        stage_ref()
+    if stage in ("ours", "all"):
+        stage_ours()
+    if stage in ("eval", "all"):
+        stage_eval()
