@@ -150,11 +150,14 @@ def _unpad_t(xt, b, h, l, d):
     return xt[:, :d, :l].reshape(b, h, d, l)
 
 
-# v5e has 128 MiB of VMEM per core; leave headroom for Mosaic temporaries
-# and the double-buffered pipeline.  A small budget is the round-1 mistake
-# that forced group=1 -> hundreds of latency-bound grid steps per layer
-# (measured 5x slowdown in-model).
-_VMEM_BUDGET = int(os.environ.get("CONTROLNET_TPU_ATTN_VMEM", 64 * 1024 * 1024))
+# Grouping budget, swept END-TO-END on the MNIST 1000-step sampler (v5e,
+# round 2): 2/6/10 MB (group=1) -> 9.8 samples/s; 64 MB (group=64) -> 8.9.
+# Small grid steps pipeline fine through Mosaic's double buffering; big
+# groups serialize DMA behind a long in-kernel fori_loop.  An in-context
+# microbench that suggested group=1 was 5x slower did not survive the
+# end-to-end A/B — keep the sweep-validated default, override via env to
+# re-test on other parts.
+_VMEM_BUDGET = int(os.environ.get("CONTROLNET_TPU_ATTN_VMEM", 10 * 1024 * 1024))
 
 
 def _pick_group(bh: int, lq_p: int, lk_p: int, d_p: int, n_bufs: int) -> int:
@@ -222,10 +225,6 @@ def _fused_attention_fwd_impl(qt4, kt4, vt4, interpret):
             pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((group, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=112 * 1024 * 1024,
-        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * (b * h) * (lq_p * lk_p * d_p * 2),
@@ -262,10 +261,6 @@ def _fused_attention_bwd(interpret, res, dout):
             pl.BlockSpec((group, d_p, lq_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((group, d_p, lk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
