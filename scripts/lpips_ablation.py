@@ -48,7 +48,7 @@ AUTOENC = {
 def _config(task: str, perceptual_weight: float) -> dict:
     return {
         "dataset_params": {
-            "im_path": os.path.join(WS, "data", "train"),
+            "im_path": os.path.join(WS, "data", "train_flat"),
             "im_channels": 3,
             "im_size": IM_SIZE,
             "canny_im_size": IM_SIZE,
@@ -78,12 +78,23 @@ def _config(task: str, perceptual_weight: float) -> dict:
 
 
 def stage_data():
+    import shutil
+
     from controlnet_tpu.data.synthetic import make_synthetic_image_tree
 
     make_synthetic_image_tree(os.path.join(WS, "data", "train"),
                               num_classes=4, per_class=128, size=IM_SIZE, seed=0)
     make_synthetic_image_tree(os.path.join(WS, "data", "test"),
                               num_classes=4, per_class=32, size=IM_SIZE, seed=9)
+    # the celebhq dataset globs a FLAT <im_path>/*.png dir
+    # (data/datasets.py:209-211, mirroring dataset/celeb_dataset.py)
+    flat = os.path.join(WS, "data", "train_flat")
+    os.makedirs(flat, exist_ok=True)
+    root = os.path.join(WS, "data", "train")
+    for cls in sorted(os.listdir(root)):
+        for f in sorted(os.listdir(os.path.join(root, cls))):
+            shutil.copyfile(os.path.join(root, cls, f),
+                            os.path.join(flat, f"{cls}_{f}"))
     print("dataset ready")
 
 

@@ -42,6 +42,27 @@ def build(mode):
         t = jnp.zeros((B,), jnp.int32)
         fn = unet.forward_tl if mode == "tl" else unet.__call__
         return jax.jit(lambda: fn(p, x, t))
+    if mode == "ldm":
+        # north-star inner loop: LDM ControlNet fwd, batch 4, bf16, hint
+        # features hoisted (exactly what make_ddpm_sampler scans over)
+        from controlnet_tpu.models.controlnet import ControlNet
+
+        LDM_MP = dict(hint_channels=3, down_channels=[256, 384, 512, 768],
+                      mid_channels=[768, 512], down_sample=[True, True, True],
+                      attn_down=[True, True, True], time_emb_dim=512,
+                      norm_channels=32, num_heads=16, conv_out_channels=128,
+                      num_down_layers=2, num_mid_layers=2, num_up_layers=2)
+        cn = ControlNet(4, LDM_MP, model_locked=True, down_sample_factor=32)
+        p = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                         if a.dtype == jnp.float32 else a,
+                         cn.init(jax.random.PRNGKey(0)))
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 4), jnp.bfloat16)
+        t = jnp.zeros((4,), jnp.int32)
+        feats = jnp.zeros((4, 32, 32, 256), jnp.bfloat16)
+        # params must be a jit ARGUMENT: baked-in 190M-param constants
+        # overflow the remote-compile request body
+        g = jax.jit(lambda pp: cn(pp, x, t, hint_features=feats))
+        return lambda: g(p)
     if mode == "attn":
         from controlnet_tpu.ops.pallas_attention import fused_attention_t
 
@@ -120,6 +141,17 @@ def main():
     print("--- top 30 ops ---")
     for k, v in sorted(name_us.items(), key=lambda kv: -kv[1])[:30]:
         print(json.dumps({"op": k[:120], "us_per_step": round(v / REPS, 1)}))
+
+    # framework-op attribution (jax-level names) for the layout/copy time
+    fw_lines = {(pid, tid) for (pid, tid), name in tids.items()
+                if name == "Framework Ops"}
+    fw_us = defaultdict(float)
+    for e in events:
+        if (e.get("pid"), e.get("tid")) in fw_lines:
+            fw_us[e.get("name", "")] += e["dur"]
+    print("--- top 25 framework ops ---")
+    for k, v in sorted(fw_us.items(), key=lambda kv: -kv[1])[:25]:
+        print(json.dumps({"fw_op": k[-130:], "us_per_step": round(v / REPS, 1)}))
 
 
 if __name__ == "__main__":

@@ -73,6 +73,10 @@ def train(args):
     lp, lpips_params = build_lpips(k3)
 
     dataset = cli.build_dataset("celebhq", dataset_config, "train", return_hints=False)
+    if len(dataset) == 0:
+        raise cfg.ConfigError(
+            f"no training images under {dataset_config['im_path']} "
+            "(celebhq expects a flat <im_path>/*.png|jpg directory)")
 
     acc_steps = train_config["autoencoder_acc_steps"]
     base_g = optax.adam(train_config["autoencoder_lr"], b1=0.5, b2=0.999)
