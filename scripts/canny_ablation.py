@@ -162,8 +162,8 @@ def stage_throughput():
         cv2.Canny(u8, 100, 200)
     cv2_dt = time.time() - t0
 
-    dev_imgs = jax.device_put(imgs[..., None])
-    fn = jax.jit(lambda x: canny_hints(x[..., 0]))
+    dev_imgs = jax.device_put(imgs[..., None])  # (B, H, W, 1) in [0, 1]
+    fn = jax.jit(canny_hints)
     jax.block_until_ready(fn(dev_imgs))  # compile
     t0 = time.time()
     for _ in range(5):

@@ -137,10 +137,9 @@ def stage_eval():
     import jax
     import numpy as np
 
-    from controlnet_tpu.io.checkpoint import restore_checkpoint
+    from controlnet_tpu.io.checkpoint import restore_checkpoint_raw
     from controlnet_tpu.models.lpips import LPIPS
     from controlnet_tpu.models.vae import VAE
-    from controlnet_tpu.train.state import create_train_state
     from tools.eval_metrics import evaluate
 
     test = _load_test_images()
@@ -154,14 +153,8 @@ def stage_eval():
     results = {}
     for name in VARIANTS:
         task = os.path.join(WS, name)
-        import optax
-
-        template = {"g": create_train_state(vae.init(jax.random.PRNGKey(0)),
-                                            optax.adam(1e-4)),
-                    "d": None}
-        tree, _ = restore_checkpoint(task, "vae_autoencoder_ckpt.pth",
-                                     {"g": template["g"]})
-        params = tree["g"].params
+        tree, _ = restore_checkpoint_raw(task, "vae_autoencoder_ckpt.pth")
+        params = tree["g"]["params"]
         recon = np.asarray(jax.jit(
             lambda p, x: vae(p, x, jax.random.PRNGKey(0))[0])(params, test))
         mse = float(np.mean((recon - test) ** 2))
