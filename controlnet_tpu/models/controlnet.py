@@ -187,6 +187,64 @@ class ControlNet:
         skips = [f + c for f, c in zip(f_down_outs, c_down_outs)]
         return unet.decode(p["trained_unet"], m_out, skips, f_t_emb)
 
+    def forward_fused(self, p: Params, x: jax.Array, t: jax.Array,
+                      hint: jax.Array | None = None,
+                      hint_features: jax.Array | None = None) -> jax.Array:
+        """Sampling-mode forward with the frozen and control down/mid trunks
+        STACKED on a leading axis of 2 and run through ``jax.vmap``.
+
+        Same math as ``__call__`` (the vmap applies each trunk's own weights
+        to its own stream — parity proven in tests/test_models.py); XLA
+        lowers each vmapped conv pair to one batch-grouped convolution, so
+        the dual trunk costs one kernel launch per layer instead of two.
+
+        Measured (round 2, v5e, LDM ControlNet 1000-step sampling): batch 4
+        5.44 ms/step vs 5.40 for ``__call__``; batch 8 9.06 vs 8.69 —
+        batch-grouped convs do NOT beat two sequential full-batch convs on
+        this part, so samplers keep ``__call__``.  Retained as a tested
+        alternative path (useful on hardware where grouped-conv lowering is
+        stronger, and as the record of the experiment).
+        """
+        unet, ctrl = self.unet, self.control_unet
+        fp_sg = jax.lax.stop_gradient(p["trained_unet"])
+        cp = p["control_unet"]
+
+        f_t_emb = unet.time_embed(fp_sg, t)
+        c_t_emb = ctrl.time_embed(cp, t)
+        t2 = jnp.stack([f_t_emb, c_t_emb])  # (2, B, D)
+
+        if hint_features is None:
+            assert hint is not None, "pass hint or precomputed hint_features"
+            hint_features = self.hint_block(p["hint_block"], hint)
+
+        def stack2(a, b):
+            return jax.tree.map(lambda u, v: jnp.stack([u, v]), a, b)
+
+        conv_in2 = stack2(fp_sg["conv_in"], cp["conv_in"])
+        downs2 = stack2(fp_sg["downs"], cp["downs"])
+        # Frozen mids stay differentiable (reference runs them outside
+        # no_grad, controlnet.py:195-207) — match __call__.
+        mids2 = stack2(p["trained_unet"]["mids"], cp["mids"])
+
+        out2 = jax.vmap(unet.conv_in, in_axes=(0, None))(conv_in2, x)
+        out2 = out2.at[1].add(hint_features)
+
+        skips = []
+        for i, blk in enumerate(ctrl.downs):
+            skips.append(out2[0] + self.down_zero[i](p["down_zero"][i], out2[1]))
+            out2 = jax.vmap(lambda bp, xx, te, blk=blk: blk(bp, xx, te))(
+                downs2[i], out2, t2)
+
+        m, c = out2[0], out2[1]
+        for i in range(len(unet.mids)):
+            pair = jnp.stack([m, c])
+            pair = jax.vmap(lambda bp, xx, te, blk=unet.mids[i]: blk(bp, xx, te))(
+                mids2[i], pair, t2)
+            c = pair[1]
+            m = pair[0] + self.mid_zero[i](p["mid_zero"][i], c)
+
+        return unet.decode(p["trained_unet"], m, skips, f_t_emb)
+
     def forward_tl(self, p: Params, x: jax.Array, t: jax.Array,
                    hint: jax.Array | None = None,
                    hint_features: jax.Array | None = None) -> jax.Array:

@@ -21,8 +21,13 @@ import jax
 import jax.numpy as jnp
 
 
-_SOBEL_X = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], jnp.float32)
-_SOBEL_Y = jnp.array([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]], jnp.float32)
+# numpy, NOT jnp: module import may occur inside an active jit trace (lazy
+# imports elsewhere in the package), where a jnp constant would be traced —
+# and leak as a stale tracer into every later use of this module.
+import numpy as np
+
+_SOBEL_X = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], np.float32)
+_SOBEL_Y = np.array([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]], np.float32)
 
 
 def _conv3x3(x: jax.Array, kernel: jax.Array) -> jax.Array:

@@ -53,3 +53,34 @@ def test_canny_hints_rgb_input():
     assert hints.shape == (1, 32, 32, 3)
     assert hints.sum() > 0  # found the shape edges
     assert set(np.unique(hints)) <= {0.0, 1.0}
+
+
+def test_canny_usable_after_traced_package_import():
+    """Regression (round 2): `controlnet_tpu.ops` may legitimately be first
+    imported INSIDE a jit trace (the attention dispatch lazy-imports its
+    Pallas kernel).  The package __init__ used to import canny eagerly,
+    whose module-level jnp Sobel constants then became tracers of that
+    enclosing trace — and every later canny call died with
+    UnexpectedTracerError (hit by tools/train_ddpm_controlnet.py
+    --hint_backend tpu after a cv2-backend run in the same process)."""
+    import importlib
+    import sys
+
+    import jax
+
+    saved = {m: sys.modules.pop(m) for m in list(sys.modules)
+             if m.startswith("controlnet_tpu.ops")}
+    try:
+        @jax.jit
+        def traced_importer(x):
+            import controlnet_tpu.ops  # noqa: F401  (import inside trace)
+            from controlnet_tpu.ops import canny  # noqa: F401
+
+            return x * 2
+
+        traced_importer(jnp.ones((2,)))
+        canny_mod = importlib.import_module("controlnet_tpu.ops.canny")
+        out = jax.jit(canny_mod.canny_hints)(jnp.zeros((1, 8, 8, 1)))
+        assert out.shape == (1, 8, 8, 3)
+    finally:
+        sys.modules.update(saved)

@@ -74,6 +74,26 @@ def test_controlnet_split_merge_roundtrip(tiny_model_config):
     assert "ups" in tr2["trained_unet"] and "ups" not in fr2["trained_unet"]
 
 
+def test_controlnet_fused_forward_parity(tiny_model_config):
+    """forward_fused (stacked vmapped trunks, the sampling fast path) must
+    compute the same function as __call__ — including through attention and
+    with non-zero zero-convs so the control branch actually contributes."""
+    cn = ControlNet(1, tiny_model_config)
+    cp = cn.init(jax.random.PRNGKey(0))
+    cp["down_zero"] = [jax.tree.map(lambda a: a + 0.03, z) for z in cp["down_zero"]]
+    cp["mid_zero"] = [jax.tree.map(lambda a: a + 0.03, z) for z in cp["mid_zero"]]
+    # desynchronize the control trunk from the frozen trunk
+    cp["control_unet"] = jax.tree.map(lambda a: a + 0.01, cp["control_unet"])
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1))
+    t = jnp.array([5, 100])
+    hint = jax.random.uniform(jax.random.PRNGKey(3), (2, 8, 8, 3))
+
+    ref = jax.jit(lambda p: cn(p, x, t, hint))(cp)
+    fused = jax.jit(lambda p: cn.forward_fused(p, x, t, hint))(cp)
+    assert ref.shape == fused.shape
+    assert float(jnp.abs(ref - fused).max()) < 1e-5
+
+
 def test_controlnet_hint_changes_output(tiny_model_config):
     """After perturbing the zero convs, the hint must influence the output."""
     cn = ControlNet(1, tiny_model_config)
