@@ -96,7 +96,7 @@ def stage_eval():
 
     from controlnet_tpu.data.datasets import MnistDataset, iterate_batches
     from controlnet_tpu.models.controlnet import ControlNet
-    from controlnet_tpu.schedules.linear import make_linear_schedule
+    from controlnet_tpu.schedules.linear import add_noise, make_linear_schedule
     from tools.train_ddpm_controlnet import load_controlnet_params
 
     sched = make_linear_schedule(1000, 0.0001, 0.02)
@@ -112,7 +112,7 @@ def stage_eval():
             kt, kn = jax.random.split(key)
             t = jax.random.randint(kt, (im.shape[0],), 0, 1000)
             noise = jax.random.normal(kn, im.shape)
-            noisy = sched.add_noise(im, noise, t)
+            noisy = add_noise(sched, im, noise, t)
             pred = cn(p, noisy, t, hint)
             return jnp.mean((pred - noise) ** 2)
 
