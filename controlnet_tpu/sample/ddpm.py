@@ -28,6 +28,7 @@ def make_ddpm_sampler(
     shape: tuple[int, ...],
     record_every: int = 1,
     compute_dtype=None,
+    unroll: int = 1,
 ):
     """Build a jitted sampler.
 
@@ -40,7 +41,10 @@ def make_ddpm_sampler(
 
     ``compute_dtype`` (e.g. jnp.bfloat16) casts the model input so the UNet
     runs in reduced precision (layers accumulate matmuls/convs in f32);
-    the scheduler update itself always runs in float32.
+    the scheduler update itself always runs in float32.  ``unroll`` is
+    passed to the scan (amortizes loop overhead at the cost of compile
+    time).  When ``record_every == T`` (final frame only — the benchmark
+    and serving mode) no per-step trajectory buffer is allocated.
     """
     T = sched.num_timesteps
     assert T % record_every == 0
@@ -50,6 +54,8 @@ def make_ddpm_sampler(
         xt = jax.random.normal(k0, shape, jnp.float32)
         b = shape[0]
         hint_c = hint if (hint is None or compute_dtype is None) else hint.astype(compute_dtype)
+
+        final_only = record_every == T
 
         def body(carry, i):
             xt, key = carry
@@ -63,11 +69,18 @@ def make_ddpm_sampler(
                 noise_pred = eps_fn(params, x_in, t_batch, hint_c)
             noise_pred = noise_pred.astype(jnp.float32)
             xt_next, x0 = sample_prev_timestep(sched, xt, noise_pred, t, kstep)
+            if final_only:
+                # no per-step trajectory: skip the (T, *shape) device buffer
+                return (xt_next, key), None
             snap = jnp.clip(xt_next, -1.0, 1.0)
             return (xt_next, key), snap
 
-        (xt, _), snaps = jax.lax.scan(body, (xt, key), jnp.arange(T))
-        traj = snaps[record_every - 1 :: record_every]
+        (xt, _), snaps = jax.lax.scan(body, (xt, key), jnp.arange(T),
+                                      unroll=unroll)
+        if final_only:
+            traj = jnp.clip(xt, -1.0, 1.0)[None]
+        else:
+            traj = snaps[record_every - 1 :: record_every]
         return xt, traj
 
     return jax.jit(sampler)

@@ -40,3 +40,23 @@ def test_sampler_last_snapshot_is_final_state(tiny_model_config):
     np.testing.assert_allclose(
         np.asarray(traj[-1]), np.clip(np.asarray(x0), -1, 1), atol=1e-6
     )
+
+
+def test_sampler_final_only_and_unroll_equivalence(tiny_model_config):
+    """record_every == T skips the per-step trajectory buffer and unroll
+    changes only scheduling — both must reproduce the step-by-step
+    sampler's final state and artifact contract exactly."""
+    T = 12
+    sched = make_linear_schedule(T, 1e-4, 0.02)
+    u = UNet(1, tiny_model_config)
+    p = u.init(jax.random.PRNGKey(0))
+    base = make_ddpm_sampler(lambda p, x, t: u(p, x, t), sched, (2, 8, 8, 1))
+    x0_ref, traj_ref = base(p, jax.random.PRNGKey(7))
+
+    fast = make_ddpm_sampler(lambda p, x, t: u(p, x, t), sched, (2, 8, 8, 1),
+                             record_every=T, unroll=3)
+    x0, traj = fast(p, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x0_ref), atol=1e-6)
+    assert traj.shape == (1, 2, 8, 8, 1)
+    np.testing.assert_allclose(np.asarray(traj[0]), np.asarray(traj_ref[-1]),
+                               atol=1e-6)
