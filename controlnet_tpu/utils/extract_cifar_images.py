@@ -48,12 +48,46 @@ def extract_images(batches_dir: str, save_root: str) -> None:
         print(f"{split}: wrote {sum(counters)} images")
 
 
+CIFAR_URL = "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz"
+
+
+def download_cifar(dest_dir: str, url: str = CIFAR_URL) -> str:
+    """Download + extract the canonical CIFAR-10 tarball, returning the
+    ``cifar-10-batches-py`` directory — the auto-download half of reference
+    dataset/cifar_dataset.py:41-104 without the torchvision dependency.
+    Needs network egress; in the offline build environment this raises and
+    the converter path above (pre-obtained tarball) is the supported route.
+    """
+    import tarfile
+    import urllib.request
+
+    os.makedirs(dest_dir, exist_ok=True)
+    out = os.path.join(dest_dir, "cifar-10-batches-py")
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "data_batch_1")):
+        print(f"found existing {out}")
+        return out
+    tar_path = os.path.join(dest_dir, "cifar-10-python.tar.gz")
+    if not os.path.exists(tar_path):
+        print(f"downloading {url} ...")
+        urllib.request.urlretrieve(url, tar_path)
+    with tarfile.open(tar_path, "r:gz") as tf:
+        tf.extractall(dest_dir, filter="data")
+    return out
+
+
 if __name__ == "__main__":
     import argparse
 
     parser = argparse.ArgumentParser(description="Extract CIFAR-10 pickle batches to a png tree")
-    parser.add_argument("--batches_dir", required=True,
-                        help="path to cifar-10-batches-py/")
+    parser.add_argument("--batches_dir",
+                        help="path to cifar-10-batches-py/ (omit with --download)")
     parser.add_argument("--save_root", required=True)
+    parser.add_argument("--download", action="store_true",
+                        help="fetch the canonical tarball first (needs network)")
     args = parser.parse_args()
-    extract_images(args.batches_dir, args.save_root)
+    batches = args.batches_dir
+    if args.download:
+        batches = download_cifar(os.path.dirname(args.save_root) or ".")
+    if not batches:
+        parser.error("--batches_dir is required unless --download is given")
+    extract_images(batches, args.save_root)

@@ -95,6 +95,34 @@ def _save_pngs(arr01, out_dir: str):
             os.path.join(out_dir, f"{i:04d}.png"))
 
 
+def _shim_torchvision():
+    """torchvision is not installed; the reference only uses
+    transforms.ToTensor (dataset/mnist_dataset.py:51,62) — shim it."""
+    import types as _types
+
+    import numpy as np
+    import torch
+
+    if "torchvision" in sys.modules:
+        return
+    tv = _types.ModuleType("torchvision")
+    tf = _types.ModuleType("torchvision.transforms")
+
+    class ToTensor:
+        def __call__(self, im):
+            arr = np.asarray(im, dtype=np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[None]
+            else:
+                arr = arr.transpose(2, 0, 1)
+            return torch.from_numpy(arr)
+
+    tf.ToTensor = ToTensor
+    tv.transforms = tf
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tf
+
+
 def stage_ref():
     """Train + sample the torch reference (read-only import, CPU)."""
     import importlib.util
@@ -102,28 +130,7 @@ def stage_ref():
     import numpy as np
     import torch
 
-    # torchvision is not installed; the reference only uses
-    # transforms.ToTensor (dataset/mnist_dataset.py:51,62) — shim it.
-    import types as _types
-
-    if "torchvision" not in sys.modules:
-        tv = _types.ModuleType("torchvision")
-        tf = _types.ModuleType("torchvision.transforms")
-
-        class ToTensor:
-            def __call__(self, im):
-                arr = np.asarray(im, dtype=np.float32) / 255.0
-                if arr.ndim == 2:
-                    arr = arr[None]
-                else:
-                    arr = arr.transpose(2, 0, 1)
-                return torch.from_numpy(arr)
-
-        tf.ToTensor = ToTensor
-        tv.transforms = tf
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tf
-
+    _shim_torchvision()
     sys.path.insert(0, "/root/reference")
     # the reference uses train_params.task_name both as dataset selector AND
     # output directory (train_ddpm.py:41-46,58) — run from a scratch cwd so
@@ -241,6 +248,159 @@ def stage_eval():
     print("wrote", out)
 
 
+CN_EPOCHS = int(os.environ.get("FIDELITY_CN_EPOCHS", "6"))
+
+
+def _test_hints(n: int):
+    """First ``n`` held-out (image, cv2-hint) pairs — the SAME conditioning
+    for both stacks (the reference's random-hint gathering,
+    sample_ddpm_controlnet.py:32-36, is made deterministic here so the
+    comparison conditions match)."""
+    import numpy as np
+
+    from controlnet_tpu.data.datasets import MnistDataset, iterate_batches
+
+    ds = MnistDataset("test", os.path.join(WS, "data", "test"), return_hints=True)
+    ims, hints = [], []
+    for im, h in iterate_batches(ds, SAMPLE_BATCH, shuffle=False):
+        ims.append(im)
+        hints.append(h)
+        if sum(x.shape[0] for x in ims) >= n:
+            break
+    return (np.concatenate(ims)[:n], np.concatenate(hints)[:n])
+
+
+def stage_ref_cn():
+    """Train + sample the torch reference ControlNet (from the stage_ref
+    DDPM checkpoint), 1000-step hint-conditioned sampling on fixed
+    held-out hints."""
+    import numpy as np
+    import torch
+
+    _shim_torchvision()
+    run_dir = os.path.join(WS, "ref_run")
+    os.chdir(run_dir)
+    sys.path.insert(0, "/root/reference")
+    cfg_path = _write_config("mnist")
+    import importlib.util
+
+    cn_ckpt = os.path.join(run_dir, "mnist", "controlnet_ckpt.pth")
+    if not os.path.exists(cn_ckpt):
+        # extend the shared CONFIG with the ControlNet keys the reference
+        # trainer reads (train_ddpm_controlnet.py:74-76)
+        import yaml
+
+        with open(cfg_path) as f:
+            c = yaml.safe_load(f)
+        c["train_params"].update({"controlnet_epochs": CN_EPOCHS,
+                                  "controlnet_lr": 0.0001,
+                                  "controlnet_ckpt_name": "controlnet_ckpt.pth"})
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(c, f)
+        spec = importlib.util.spec_from_file_location(
+            "ref_train_cn", "/root/reference/tools/train_ddpm_controlnet.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        torch.manual_seed(3)
+
+        class Args:
+            config_path = cfg_path
+
+        mod.train(Args())
+    print("reference controlnet trained")
+
+    from models.controlnet import ControlNet  # reference, read-only
+    from scheduler.linear_noise_scheduler import LinearNoiseScheduler
+
+    model = ControlNet(CONFIG["model_params"], model_locked=True,
+                       model_ckpt=os.path.join(run_dir, "mnist", "ddpm_ckpt.pth"),
+                       device=torch.device("cpu")).eval()
+    model.load_state_dict(torch.load(cn_ckpt, map_location="cpu"))
+    sched = LinearNoiseScheduler(1000, 0.0001, 0.02)
+    _, hints = _test_hints(N_SAMPLES)
+    torch.manual_seed(11)
+    outs = []
+    with torch.no_grad():
+        for b0 in range(0, N_SAMPLES, SAMPLE_BATCH):
+            nb = min(SAMPLE_BATCH, N_SAMPLES - b0)
+            h = torch.from_numpy(hints[b0:b0 + nb]).permute(0, 3, 1, 2)
+            xt = torch.randn(nb, 1, IM_SIZE, IM_SIZE)
+            for i in reversed(range(1000)):
+                pred = model(xt, torch.as_tensor(i).unsqueeze(0), h)
+                xt, _ = sched.sample_prev_timestep(xt, pred, torch.as_tensor(i))
+            outs.append(((xt.clamp(-1, 1) + 1) / 2).permute(0, 2, 3, 1).numpy())
+            print(f"ref cn sampled {b0 + nb}/{N_SAMPLES}", flush=True)
+    _save_pngs(np.concatenate(outs), os.path.join(WS, "ref_cn_samples"))
+    print("reference controlnet samples written")
+
+
+def stage_ours_cn():
+    """Sample OUR ControlNet (the canny_ablation cv2-trained model — same
+    base DDPM, same data, same epochs/lr/seed as stage_ref_cn) on the same
+    fixed hints."""
+    import jax
+    import numpy as np
+
+    from controlnet_tpu.models.controlnet import ControlNet
+    from controlnet_tpu.sample.ddpm import make_ddpm_sampler
+    from controlnet_tpu.schedules.linear import make_linear_schedule
+    from tools.train_ddpm_controlnet import load_controlnet_params
+
+    task = os.path.join(REPO, "canny_ablation_ws", "cv2")
+    cn = ControlNet(1, CONFIG["model_params"])
+    params = load_controlnet_params(task, "controlnet_ckpt.pth", cn)
+    sched = make_linear_schedule(1000, 0.0001, 0.02)
+    _, hints = _test_hints(N_SAMPLES)
+    outs = []
+    for b0 in range(0, N_SAMPLES, SAMPLE_BATCH):
+        nb = min(SAMPLE_BATCH, N_SAMPLES - b0)
+        sampler = make_ddpm_sampler(lambda p, x, t, h: cn(p, x, t, h), sched,
+                                    (nb, IM_SIZE, IM_SIZE, 1), record_every=1000)
+        x0, _ = sampler(params, jax.random.PRNGKey(500 + b0), hints[b0:b0 + nb])
+        outs.append((np.clip(np.asarray(x0), -1, 1) + 1) / 2)
+        print(f"ours cn sampled {b0 + nb}/{N_SAMPLES}", flush=True)
+    _save_pngs(np.concatenate(outs), os.path.join(WS, "ours_cn_samples"))
+    print("our controlnet samples written")
+
+
+def stage_eval_cn():
+    import json as _json
+
+    import cv2
+    import numpy as np
+
+    from tools.eval_metrics import evaluate, load_images
+
+    ref = load_images(os.path.join(WS, "ref_cn_samples"), 1)
+    ours = load_images(os.path.join(WS, "ours_cn_samples"), 1)
+    test_imgs, hints = _test_hints(len(ref))
+
+    rows = {}
+    rows["ffd_cn_ours_vs_ref"] = evaluate(ours, ref, 1)["ffd"]
+    h = len(ref) // 2
+    rows["ffd_cn_noise_floor_ref_halves"] = evaluate(ref[:h], ref[h:], 1)["ffd"]
+    rows["ffd_cn_noise_floor_ours_halves"] = evaluate(ours[:h], ours[h:], 1)["ffd"]
+
+    def hint_following(samples) -> float:
+        """Mean pixel agreement between canny(sample) and the conditioning
+        hint — the functional 'did the control work' metric."""
+        agree = []
+        for s, hint in zip(samples, hints):
+            e = (cv2.Canny((s[..., 0] * 255).astype(np.uint8), 100, 200) > 0)
+            agree.append(float((e == (hint[..., 0] > 0.5)).mean()))
+        return float(np.mean(agree))
+
+    rows["hint_follow_ref"] = hint_following(ref)
+    rows["hint_follow_ours"] = hint_following(ours)
+    rows["n_samples"] = len(ref)
+    rows["cn_epochs"] = CN_EPOCHS
+    out = os.path.join(WS, "fidelity_cn_results.json")
+    with open(out, "w") as f:
+        _json.dump(rows, f, indent=2)
+    print(_json.dumps(rows, indent=2))
+    print("wrote", out)
+
+
 if __name__ == "__main__":
     os.makedirs(WS, exist_ok=True)
     stage = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -252,3 +412,9 @@ if __name__ == "__main__":
         stage_ours()
     if stage in ("eval", "all"):
         stage_eval()
+    if stage == "ref_cn":
+        stage_ref_cn()
+    if stage == "ours_cn":
+        stage_ours_cn()
+    if stage == "eval_cn":
+        stage_eval_cn()

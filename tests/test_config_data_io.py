@@ -114,3 +114,15 @@ def test_cifar_dataset_rgb_hints(tmp_path):
     assert im.shape == (32, 32, 3)
     assert hint.shape == (32, 32, 3)
     assert set(np.unique(hint)) <= {0.0, 1.0}
+
+
+def test_cifar_download_short_circuits_on_existing(tmp_path):
+    """download_cifar must be a no-op (no network) when the batches dir is
+    already present — the offline-supported path."""
+    from controlnet_tpu.utils.extract_cifar_images import download_cifar
+
+    batches = tmp_path / "cifar-10-batches-py"
+    batches.mkdir()
+    (batches / "data_batch_1").write_bytes(b"x")
+    out = download_cifar(str(tmp_path), url="http://invalid.invalid/nope")
+    assert out == str(batches)
