@@ -401,6 +401,159 @@ def stage_eval_cn():
     print("wrote", out)
 
 
+CD_EPOCHS = int(os.environ.get("FIDELITY_CD_EPOCHS", "8"))
+
+
+def stage_ref_cd():
+    """Train + 1-step-sample the reference consistency-distilled student
+    (teacher: the stage_ref_cn ControlNet), completing the reference's full
+    workflow chain DDPM -> ControlNet -> 1-step student on the ref stack."""
+    import importlib.util
+
+    import numpy as np
+    import torch
+    import yaml
+
+    _shim_torchvision()
+    run_dir = os.path.join(WS, "ref_run")
+    os.chdir(run_dir)
+    sys.path.insert(0, "/root/reference")
+    cfg_path = _write_config("mnist")
+    with open(cfg_path) as f:
+        c = yaml.safe_load(f)
+    c["train_params"].update({"controlnet_ckpt_name": "controlnet_ckpt.pth",
+                              "consistency_epochs": CD_EPOCHS,
+                              "consistency_lr": 0.0001,
+                              "use_ddpm_distillation": True})
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(c, f)
+
+    # this env's cv2 lacks setLogLevel, which the reference trainer calls at
+    # import (train_consistency_controlnet_distilled.py:16) — shim it.
+    import cv2
+
+    if not hasattr(cv2, "setLogLevel"):
+        cv2.setLogLevel = lambda *_: None
+
+    cd_ckpt = os.path.join(run_dir, "mnist", "consistency_controlnet_distilled.pth")
+    if not os.path.exists(cd_ckpt):
+        spec = importlib.util.spec_from_file_location(
+            "ref_train_cd",
+            "/root/reference/tools/train_consistency_controlnet_distilled.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        torch.manual_seed(21)
+
+        class Args:
+            config_path = cfg_path
+
+        mod.train(Args())
+    print("reference consistency student trained")
+
+    from models.consistency_controlnet_distilled import (  # reference
+        ConsistencyControlNetDistilled,
+    )
+
+    model = ConsistencyControlNetDistilled(
+        CONFIG["model_params"],
+        os.path.join(run_dir, "mnist", "controlnet_ckpt.pth"),
+        device=torch.device("cpu")).eval()
+    sd = torch.load(cd_ckpt, map_location="cpu")
+    model.student.load_state_dict(sd["model_state_dict"])
+    _, hints = _test_hints(N_SAMPLES)
+    torch.manual_seed(31)
+    outs = []
+    with torch.no_grad():
+        for b0 in range(0, N_SAMPLES, SAMPLE_BATCH):
+            nb = min(SAMPLE_BATCH, N_SAMPLES - b0)
+            h = torch.from_numpy(hints[b0:b0 + nb]).permute(0, 3, 1, 2)
+            x0 = model.generate(h, (nb, 1, IM_SIZE, IM_SIZE), num_steps=1)
+            outs.append(((x0.clamp(-1, 1) + 1) / 2).permute(0, 2, 3, 1).numpy())
+            print(f"ref cd sampled {b0 + nb}/{N_SAMPLES}", flush=True)
+    _save_pngs(np.concatenate(outs), os.path.join(WS, "ref_cd_samples"))
+    print("reference consistency samples written")
+
+
+def stage_ours_cd():
+    """Train + 1-step-sample OUR consistency student from our ControlNet
+    (canny_ablation cv2 model — same lineage as stage_ours_cn)."""
+    import shutil
+    import types
+
+    import jax
+    import numpy as np
+    import yaml
+
+    from controlnet_tpu.io.checkpoint import latest_checkpoint
+
+    task = os.path.join(WS, "ours_cd_task")
+    os.makedirs(task, exist_ok=True)
+    for name in ("ddpm_ckpt", "controlnet_ckpt"):
+        link = os.path.join(task, name)
+        src = os.path.join(REPO, "canny_ablation_ws", "cv2", name)
+        if not os.path.exists(link):
+            if os.path.islink(src):
+                src = os.readlink(src)
+            os.symlink(src, link)
+
+    import copy
+
+    cfg = copy.deepcopy(CONFIG)
+    cfg["train_params"].update({
+        "task_name": task, "controlnet_ckpt_name": "controlnet_ckpt.pth",
+        "consistency_ckpt_name": "consistency_controlnet_distilled.pth",
+        "consistency_epochs": CD_EPOCHS, "consistency_lr": 0.0001,
+        "use_ddpm_distillation": True, "seed": 21,
+    })
+    cfgp = os.path.join(WS, "ours_cd.yaml")
+    with open(cfgp, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from tools.train_consistency_controlnet_distilled import train
+
+    if latest_checkpoint(task, "consistency_controlnet_distilled.pth") != CD_EPOCHS:
+        train(types.SimpleNamespace(config_path=cfgp))
+    print("our consistency student trained")
+
+    from controlnet_tpu.models.consistency import ConsistencyDistilled
+    from tools.sample_consistency_controlnet_distilled import load_student
+
+    model = ConsistencyDistilled(1, CONFIG["model_params"], use_ddpm_teacher=False)
+    sp = load_student(task, model)
+    _, hints = _test_hints(N_SAMPLES)
+    outs = []
+    for b0 in range(0, N_SAMPLES, SAMPLE_BATCH):
+        nb = min(SAMPLE_BATCH, N_SAMPLES - b0)
+        x0 = model.generate({"student": sp}, hints[b0:b0 + nb],
+                            (nb, IM_SIZE, IM_SIZE, 1),
+                            jax.random.PRNGKey(900 + b0), 1)
+        outs.append((np.clip(np.asarray(x0), -1, 1) + 1) / 2)
+        print(f"ours cd sampled {b0 + nb}/{N_SAMPLES}", flush=True)
+    _save_pngs(np.concatenate(outs), os.path.join(WS, "ours_cd_samples"))
+    print("our consistency samples written")
+
+
+def stage_eval_cd():
+    import json as _json
+
+    from tools.eval_metrics import evaluate, load_images
+
+    ref = load_images(os.path.join(WS, "ref_cd_samples"), 1)
+    ours = load_images(os.path.join(WS, "ours_cd_samples"), 1)
+    rows = {}
+    rows["ffd_cd_ours_vs_ref"] = evaluate(ours, ref, 1)["ffd"]
+    h = len(ref) // 2
+    rows["ffd_cd_noise_floor_ref_halves"] = evaluate(ref[:h], ref[h:], 1)["ffd"]
+    rows["ffd_cd_noise_floor_ours_halves"] = evaluate(ours[:h], ours[h:], 1)["ffd"]
+    rows["n_samples"] = min(len(ref), len(ours))
+    rows["cd_epochs"] = CD_EPOCHS
+    out = os.path.join(WS, "fidelity_cd_results.json")
+    with open(out, "w") as f:
+        _json.dump(rows, f, indent=2)
+    print(_json.dumps(rows, indent=2))
+    print("wrote", out)
+
+
 if __name__ == "__main__":
     os.makedirs(WS, exist_ok=True)
     stage = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -418,3 +571,9 @@ if __name__ == "__main__":
         stage_ours_cn()
     if stage == "eval_cn":
         stage_eval_cn()
+    if stage == "ref_cd":
+        stage_ref_cd()
+    if stage == "ours_cd":
+        stage_ours_cd()
+    if stage == "eval_cd":
+        stage_eval_cd()
