@@ -536,6 +536,9 @@ def stage_ours_cd():
 def stage_eval_cd():
     import json as _json
 
+    import cv2
+    import numpy as np
+
     from tools.eval_metrics import evaluate, load_images
 
     ref = load_images(os.path.join(WS, "ref_cd_samples"), 1)
@@ -545,6 +548,33 @@ def stage_eval_cd():
     h = len(ref) // 2
     rows["ffd_cd_noise_floor_ref_halves"] = evaluate(ref[:h], ref[h:], 1)["ffd"]
     rows["ffd_cd_noise_floor_ours_halves"] = evaluate(ours[:h], ours[h:], 1)["ffd"]
+    # quality anchors: distance to the training distribution and to each
+    # stack's own 1000-step teacher samples, plus hint-following — tells
+    # "different but equally good" apart from "one stack degraded"
+    import numpy as _np
+
+    train_imgs = load_images(os.path.join(WS, "data", "train", "0"), 1)
+    for cls in ("1", "2", "3"):
+        train_imgs = _np.concatenate(
+            [train_imgs, load_images(os.path.join(WS, "data", "train", cls), 1)])
+    rows["ffd_cd_ref_vs_train"] = evaluate(ref, train_imgs, 1)["ffd"]
+    rows["ffd_cd_ours_vs_train"] = evaluate(ours, train_imgs, 1)["ffd"]
+    ref_cn = load_images(os.path.join(WS, "ref_cn_samples"), 1)
+    ours_cn = load_images(os.path.join(WS, "ours_cn_samples"), 1)
+    rows["ffd_cd_ref_vs_own_teacher"] = evaluate(ref, ref_cn, 1)["ffd"]
+    rows["ffd_cd_ours_vs_own_teacher"] = evaluate(ours, ours_cn, 1)["ffd"]
+
+    _, hints = _test_hints(len(ref))
+
+    def hint_following(samples) -> float:
+        agree = []
+        for s, hint in zip(samples, hints):
+            e = (cv2.Canny((s[..., 0] * 255).astype(np.uint8), 100, 200) > 0)
+            agree.append(float((e == (hint[..., 0] > 0.5)).mean()))
+        return float(np.mean(agree))
+
+    rows["hint_follow_cd_ref"] = hint_following(ref)
+    rows["hint_follow_cd_ours"] = hint_following(ours)
     rows["n_samples"] = min(len(ref), len(ours))
     rows["cd_epochs"] = CD_EPOCHS
     out = os.path.join(WS, "fidelity_cd_results.json")
