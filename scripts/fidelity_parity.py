@@ -119,8 +119,13 @@ def _shim_torchvision():
 
     tf.ToTensor = ToTensor
     tv.transforms = tf
+    # distribution_matching_controlnet.py:7 imports torchvision.models but
+    # never uses it — provide an empty submodule
+    tm = _types.ModuleType("torchvision.models")
+    tv.models = tm
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = tf
+    sys.modules["torchvision.models"] = tm
 
 
 def stage_ref():
@@ -584,6 +589,181 @@ def stage_eval_cd():
     print("wrote", out)
 
 
+def stage_ref_dmd():
+    """Train + 1-step-sample the reference DMD student (teacher: the
+    stage_ref_cn ControlNet) — the second distillation family."""
+    import importlib.util
+
+    import numpy as np
+    import torch
+    import yaml
+
+    _shim_torchvision()
+    import cv2
+
+    if not hasattr(cv2, "setLogLevel"):
+        cv2.setLogLevel = lambda *_: None
+    run_dir = os.path.join(WS, "ref_run")
+    os.chdir(run_dir)
+    sys.path.insert(0, "/root/reference")
+    cfg_path = _write_config("mnist")
+    with open(cfg_path) as f:
+        c = yaml.safe_load(f)
+    c["train_params"].update({"controlnet_ckpt_name": "controlnet_ckpt.pth",
+                              "distribution_matching_epochs": CD_EPOCHS,
+                              "distribution_matching_lr": 0.00005})
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(c, f)
+
+    ckpt = os.path.join(run_dir, "mnist",
+                        "distribution_matching_controlnet_distilled_ckpt.pth")
+    if not os.path.exists(ckpt):
+        spec = importlib.util.spec_from_file_location(
+            "ref_train_dmd",
+            "/root/reference/tools/train_distribution_matching_controlnet_distilled.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        torch.manual_seed(41)
+        np.random.seed(41)
+
+        class Args:
+            config_path = cfg_path
+
+        mod.train(Args())
+    print("reference dmd student trained")
+
+    from models.distribution_matching_controlnet import (  # reference
+        DistributionMatchingControlNet,
+    )
+
+    student = DistributionMatchingControlNet(CONFIG["model_params"]).eval()
+    sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+    student.load_state_dict(sd["model_state_dict"])
+    T = CONFIG["diffusion_params"]["num_timesteps"]
+    _, hints = _test_hints(N_SAMPLES)
+    torch.manual_seed(51)
+    outs = []
+    with torch.no_grad():
+        for b0 in range(0, N_SAMPLES, SAMPLE_BATCH):
+            nb = min(SAMPLE_BATCH, N_SAMPLES - b0)
+            h = torch.from_numpy(hints[b0:b0 + nb]).permute(0, 3, 1, 2)
+            x_t = torch.randn(nb, 1, IM_SIZE, IM_SIZE)
+            t = torch.full((nb,), T - 1, dtype=torch.long)
+            x0 = student(x_t, t, h)  # t = T-1 convention (sample_dmd.py:98-102)
+            outs.append(((x0.clamp(-1, 1) + 1) / 2).permute(0, 2, 3, 1).numpy())
+            print(f"ref dmd sampled {b0 + nb}/{N_SAMPLES}", flush=True)
+    _save_pngs(np.concatenate(outs), os.path.join(WS, "ref_dmd_samples"))
+    print("reference dmd samples written")
+
+
+def stage_ours_dmd():
+    """Train + 1-step-sample OUR DMD student (same lineage)."""
+    import copy
+    import types
+
+    import jax
+    import numpy as np
+    import yaml
+
+    from controlnet_tpu.io.checkpoint import latest_checkpoint
+
+    task = os.path.join(WS, "ours_dmd_task")
+    os.makedirs(task, exist_ok=True)
+    for name in ("ddpm_ckpt", "controlnet_ckpt"):
+        link = os.path.join(task, name)
+        src = os.path.join(REPO, "canny_ablation_ws", "cv2", name)
+        if not os.path.exists(link):
+            if os.path.islink(src):
+                src = os.readlink(src)
+            os.symlink(src, link)
+
+    cfg = copy.deepcopy(CONFIG)
+    cfg["train_params"].update({
+        "task_name": task, "controlnet_ckpt_name": "controlnet_ckpt.pth",
+        "distribution_matching_epochs": CD_EPOCHS,
+        "distribution_matching_lr": 0.00005, "seed": 41,
+    })
+    cfgp = os.path.join(WS, "ours_dmd.yaml")
+    with open(cfgp, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from tools.train_distribution_matching_controlnet_distilled import (
+        CKPT_NAME as DMD_CKPT,
+        train,
+    )
+
+    if latest_checkpoint(task, DMD_CKPT) != CD_EPOCHS:
+        train(types.SimpleNamespace(config_path=cfgp, no_plots=True))
+    print("our dmd student trained")
+
+    from controlnet_tpu.models.dmd import DistributionMatchingControlNet
+    from tools.sample_distribution_matching_controlnet_distilled import load_student
+
+    student = DistributionMatchingControlNet(1, CONFIG["model_params"])
+    sp = load_student(task, student, use_best=False)
+    T = CONFIG["diffusion_params"]["num_timesteps"]
+    _, hints = _test_hints(N_SAMPLES)
+    fwd = jax.jit(lambda p, x, t, h: student(p, x, t, h))
+    outs = []
+    for b0 in range(0, N_SAMPLES, SAMPLE_BATCH):
+        nb = min(SAMPLE_BATCH, N_SAMPLES - b0)
+        k = jax.random.PRNGKey(1300 + b0)
+        x_t = jax.random.normal(k, (nb, IM_SIZE, IM_SIZE, 1))
+        t = jnp_full(nb, T - 1)
+        x0 = fwd(sp, x_t, t, hints[b0:b0 + nb])
+        outs.append((np.clip(np.asarray(x0), -1, 1) + 1) / 2)
+        print(f"ours dmd sampled {b0 + nb}/{N_SAMPLES}", flush=True)
+    _save_pngs(np.concatenate(outs), os.path.join(WS, "ours_dmd_samples"))
+    print("our dmd samples written")
+
+
+def jnp_full(n, v):
+    import jax.numpy as jnp
+
+    return jnp.full((n,), v, jnp.int32)
+
+
+def stage_eval_dmd():
+    import json as _json
+
+    import cv2
+    import numpy as np
+
+    from tools.eval_metrics import evaluate, load_images
+
+    ref = load_images(os.path.join(WS, "ref_dmd_samples"), 1)
+    ours = load_images(os.path.join(WS, "ours_dmd_samples"), 1)
+    rows = {}
+    rows["ffd_dmd_ours_vs_ref"] = evaluate(ours, ref, 1)["ffd"]
+    h = len(ref) // 2
+    rows["ffd_dmd_noise_floor_ref_halves"] = evaluate(ref[:h], ref[h:], 1)["ffd"]
+    rows["ffd_dmd_noise_floor_ours_halves"] = evaluate(ours[:h], ours[h:], 1)["ffd"]
+    train_imgs = load_images(os.path.join(WS, "data", "train", "0"), 1)
+    for cls in ("1", "2", "3"):
+        train_imgs = np.concatenate(
+            [train_imgs, load_images(os.path.join(WS, "data", "train", cls), 1)])
+    rows["ffd_dmd_ref_vs_train"] = evaluate(ref, train_imgs, 1)["ffd"]
+    rows["ffd_dmd_ours_vs_train"] = evaluate(ours, train_imgs, 1)["ffd"]
+    _, hints = _test_hints(len(ref))
+
+    def hint_following(samples) -> float:
+        agree = []
+        for s, hint in zip(samples, hints):
+            e = (cv2.Canny((s[..., 0] * 255).astype(np.uint8), 100, 200) > 0)
+            agree.append(float((e == (hint[..., 0] > 0.5)).mean()))
+        return float(np.mean(agree))
+
+    rows["hint_follow_dmd_ref"] = hint_following(ref)
+    rows["hint_follow_dmd_ours"] = hint_following(ours)
+    rows["n_samples"] = min(len(ref), len(ours))
+    rows["dmd_epochs"] = CD_EPOCHS
+    out = os.path.join(WS, "fidelity_dmd_results.json")
+    with open(out, "w") as f:
+        _json.dump(rows, f, indent=2)
+    print(_json.dumps(rows, indent=2))
+    print("wrote", out)
+
+
 if __name__ == "__main__":
     os.makedirs(WS, exist_ok=True)
     stage = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -607,3 +787,9 @@ if __name__ == "__main__":
         stage_ours_cd()
     if stage == "eval_cd":
         stage_eval_cd()
+    if stage == "ref_dmd":
+        stage_ref_dmd()
+    if stage == "ours_dmd":
+        stage_ours_dmd()
+    if stage == "eval_dmd":
+        stage_eval_dmd()
