@@ -28,7 +28,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-WS = os.path.join(REPO, "fidelity_ws")
+WS = os.environ.get("FIDELITY_WS", os.path.join(REPO, "fidelity_ws"))
 N_SAMPLES = int(os.environ.get("FIDELITY_N", "128"))
 EPOCHS = int(os.environ.get("FIDELITY_EPOCHS", "12"))
 SAMPLE_BATCH = 64
