@@ -42,9 +42,14 @@ def make_ddpm_sampler(
     ``compute_dtype`` (e.g. jnp.bfloat16) casts the model input so the UNet
     runs in reduced precision (layers accumulate matmuls/convs in f32);
     the scheduler update itself always runs in float32.  ``unroll`` is
-    passed to the scan (amortizes loop overhead at the cost of compile
-    time).  When ``record_every == T`` (final frame only — the benchmark
-    and serving mode) no per-step trajectory buffer is allocated.
+    passed to the inner step loop (amortizes loop overhead at the cost of
+    compile time).
+
+    Memory: the trajectory buffer holds exactly T//record_every frames —
+    the loop is an outer scan (one snapshot per iteration) over an inner
+    ``fori_loop`` of ``record_every`` denoising steps, never a (T, *shape)
+    stack.  With ``record_every == T`` (benchmark/serving mode) that is a
+    single frame.
     """
     T = sched.num_timesteps
     assert T % record_every == 0
@@ -55,9 +60,7 @@ def make_ddpm_sampler(
         b = shape[0]
         hint_c = hint if (hint is None or compute_dtype is None) else hint.astype(compute_dtype)
 
-        final_only = record_every == T
-
-        def body(carry, i):
+        def step(i, carry):
             xt, key = carry
             t = T - 1 - i
             key, kstep = jax.random.split(key)
@@ -68,19 +71,19 @@ def make_ddpm_sampler(
             else:
                 noise_pred = eps_fn(params, x_in, t_batch, hint_c)
             noise_pred = noise_pred.astype(jnp.float32)
-            xt_next, x0 = sample_prev_timestep(sched, xt, noise_pred, t, kstep)
-            if final_only:
-                # no per-step trajectory: skip the (T, *shape) device buffer
-                return (xt_next, key), None
-            snap = jnp.clip(xt_next, -1.0, 1.0)
-            return (xt_next, key), snap
+            xt_next, _x0 = sample_prev_timestep(sched, xt, noise_pred, t, kstep)
+            return (xt_next, key)
 
-        (xt, _), snaps = jax.lax.scan(body, (xt, key), jnp.arange(T),
+        def outer(carry, j):
+            def inner(k, c):
+                return step(j * record_every + k, c)
+
+            carry = jax.lax.fori_loop(0, record_every, inner, carry,
                                       unroll=unroll)
-        if final_only:
-            traj = jnp.clip(xt, -1.0, 1.0)[None]
-        else:
-            traj = snaps[record_every - 1 :: record_every]
+            return carry, jnp.clip(carry[0], -1.0, 1.0)
+
+        (xt, _), traj = jax.lax.scan(outer, (xt, key),
+                                     jnp.arange(T // record_every))
         return xt, traj
 
     return jax.jit(sampler)
