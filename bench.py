@@ -59,7 +59,8 @@ def bench_ours() -> float:
     shape = (BATCH, 28, 28, 1)
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16") == "1" else None
     sampler = make_ddpm_sampler(lambda p, x, t: unet(p, x, t), sched, shape,
-                                record_every=STEPS, compute_dtype=dtype)
+                                record_every=STEPS, compute_dtype=dtype,
+                                unroll=2)
 
     # warmup / compile
     jax.block_until_ready(sampler(params, jax.random.PRNGKey(1))[0])

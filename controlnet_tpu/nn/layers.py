@@ -295,18 +295,28 @@ class MultiheadAttention:
     def __call__(self, p: Params, q_in: jax.Array, kv_in: jax.Array | None = None) -> jax.Array:
         from controlnet_tpu.ops.attention import multi_head_attention_t
 
-        if kv_in is None:
-            kv_in = q_in
         dt = q_in.dtype
+        d = self.embed_dim
         # Project straight into the TRANSPOSED (B, D, L) layout the fused
         # kernel wants — XLA folds the transpose into the matmul, so no
         # copy ops appear around the attention kernel.
-        qt = jnp.einsum("blc,cd->bdl", q_in, p["wq"].astype(dt),
-                        preferred_element_type=jnp.float32) + p["bq"][None, :, None]
-        kt = jnp.einsum("blc,cd->bdl", kv_in, p["wk"].astype(dt),
-                        preferred_element_type=jnp.float32) + p["bk"][None, :, None]
-        vt = jnp.einsum("blc,cd->bdl", kv_in, p["wv"].astype(dt),
-                        preferred_element_type=jnp.float32) + p["bv"][None, :, None]
+        if kv_in is None:
+            # self-attention: ONE (C, 3D) projection matmul instead of
+            # three (bit-identical; measured ~5%/layer on v5e at L=1024).
+            # The weight concat is loop-invariant and LICM-hoisted out of
+            # sampling scans; params stay split for checkpoint parity.
+            wqkv = jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1).astype(dt)
+            bqkv = jnp.concatenate([p["bq"], p["bk"], p["bv"]])
+            qkv = jnp.einsum("blc,cd->bdl", q_in, wqkv,
+                             preferred_element_type=jnp.float32) + bqkv[None, :, None]
+            qt, kt, vt = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+        else:
+            qt = jnp.einsum("blc,cd->bdl", q_in, p["wq"].astype(dt),
+                            preferred_element_type=jnp.float32) + p["bq"][None, :, None]
+            kt = jnp.einsum("blc,cd->bdl", kv_in, p["wk"].astype(dt),
+                            preferred_element_type=jnp.float32) + p["bk"][None, :, None]
+            vt = jnp.einsum("blc,cd->bdl", kv_in, p["wv"].astype(dt),
+                            preferred_element_type=jnp.float32) + p["bv"][None, :, None]
         out_t = multi_head_attention_t(qt.astype(dt), kt.astype(dt), vt.astype(dt),
                                        self.num_heads)
         out = jnp.einsum("bdl,dc->blc", out_t, p["wo"].astype(dt),
