@@ -269,3 +269,95 @@ def test_distilled_students_parity(ref_modules):
     our_out = _nchw(jax.jit(lambda p, x, t, h: o_dmd(p, x, t, h))(
         p_dmd, _nhwc(x), jnp.asarray(t), _nhwc(hint)))
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4)
+
+
+def _load_repo_tool(name):
+    """Import a module from OUR tools/ by path — the ref_modules fixture
+    puts /root/reference first on sys.path and its tools/ package (which
+    also has an __init__.py) shadows ours by name."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        f"repo_tools_{name}", os.path.join(repo, "tools", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_import_torch_checkpoint_cli_roundtrip(ref_modules, tmp_path):
+    """The import CLI (tools/import_torch_checkpoint.py) must turn a raw
+    reference torch.save state_dict into a checkpoint our samplers load,
+    computing the same function as the torch model."""
+    import types
+
+    import yaml
+
+    ref_unet_base, _, _ = ref_modules
+    tm = ref_unet_base.Unet(TINY).eval()
+    ckpt_path = tmp_path / "ddpm_ckpt_torch.pth"
+    torch.save(tm.state_dict(), ckpt_path)
+
+    task = tmp_path / "task"
+    cfg = {
+        "dataset_params": {"task_name": "mnist", "im_path": str(tmp_path),
+                           "im_test_path": str(tmp_path)},
+        "diffusion_params": {"num_timesteps": 10, "beta_start": 1e-4,
+                             "beta_end": 0.02},
+        "model_params": dict(TINY),
+        "train_params": {"task_name": str(task), "batch_size": 2,
+                         "ddpm_ckpt_name": "ddpm_ckpt.pth", "num_epochs": 1,
+                         "num_samples": 1, "num_grid_rows": 1,
+                         "ddpm_lr": 1e-4},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    main = _load_repo_tool("import_torch_checkpoint").main
+
+    main(types.SimpleNamespace(config_path=str(cfg_path), type="unet",
+                               ckpt=str(ckpt_path), out=None))
+
+    from controlnet_tpu.models.unet import UNet
+
+    load_unet_params = _load_repo_tool("sample_ddpm").load_unet_params
+    unet = UNet(1, TINY)
+    params = load_unet_params(str(task), "ddpm_ckpt.pth", unet)
+    x = np.random.default_rng(0).standard_normal((2, 1, 8, 8), np.float32)
+    t = np.array([3, 7])
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    ours = _nchw(unet(params, _nhwc(x), jnp.asarray(t)))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-4)
+
+
+def test_eval_metrics_cli(tmp_path):
+    """eval_metrics CLI: FFD of a set against itself is ~0 and the metric
+    keys are stable."""
+    import json as _json
+    import types
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for d in ("a", "b"):
+        os.makedirs(tmp_path / d)
+        for i in range(8):
+            arr = (rng.random((16, 16)) * 255).astype("uint8")  # >=16px: 5 VGG pools
+            Image.fromarray(arr, "L").save(tmp_path / d / f"{i}.png")
+
+    em = _load_repo_tool("eval_metrics")
+    evaluate, load_images, main = em.evaluate, em.load_images, em.main
+
+    a = load_images(str(tmp_path / "a"), 1)
+    same = evaluate(a, a, 1)
+    assert abs(same["ffd"]) < 1e-3
+    assert same["lpips_mean"] < 1e-6
+
+    out = tmp_path / "m.json"
+    main(types.SimpleNamespace(dir_a=str(tmp_path / "a"),
+                               dir_b=str(tmp_path / "b"),
+                               im_channels=1, seed=0, out=str(out)))
+    m = _json.loads(out.read_text())
+    assert set(m) >= {"ffd", "lpips_mean"}
