@@ -55,6 +55,11 @@ def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_q: int,
     n_pad = lk_p - l_kv
     rows = l_q if (l_q % 8 == 0) else lq_p
 
+    # Operands are upcast to f32: keeping bf16 inputs bf16 through the MXU
+    # was A/B-tested (round 2) and is perf-neutral at every model shape
+    # here — the kernel is bound by the small-K output traversal and the
+    # VPU softmax, not matmul rate — so the higher-precision form stays.
+
     def body(g, _):
         q = q_ref[g].astype(jnp.float32)  # (dh_p, Lq_p)
         k = k_ref[g].astype(jnp.float32)  # (dh_p, Lk_p)
