@@ -60,30 +60,42 @@ def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_q: int,
     # here — the kernel is bound by the small-K output traversal and the
     # VPU softmax, not matmul rate — so the higher-precision form stays.
 
-    def body(g, _):
+    def _scores(g):
         q = q_ref[g].astype(jnp.float32)  # (dh_p, Lq_p)
         k = k_ref[g].astype(jnp.float32)  # (dh_p, Lk_p)
-        v = v_ref[g].astype(jnp.float32)
+        return jax.lax.dot_general(
+            q[:, :rows], k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
 
-        # scores (rows, Lk_p): contract the head dim (sublane axis, unpadded)
-        scores = jax.lax.dot_general(
-            q[:, :rows], k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-
+    def _finish(g, scores):
         m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), 0.0)
         e = jnp.exp(scores - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
         if n_pad:
             denom = denom - n_pad * jnp.exp(-m)
         probs = e / denom
-
+        v = v_ref[g].astype(jnp.float32)
         # out_t (dh_p, rows): contract L_k (lane axis)
         o_ref[g, :, :rows] = jax.lax.dot_general(
             v, probs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
-        return 0
 
-    jax.lax.fori_loop(0, group, body, 0)
+    if os.environ.get("CONTROLNET_TPU_ATTN_PIPE", "1") != "0" and group > 1:
+        # software-pipelined unrolled body: slice g+1's MXU scores matmul is
+        # independent of slice g's VPU softmax, so the fully unrolled
+        # dataflow lets the Mosaic scheduler overlap the units.
+        s_prev = _scores(0)
+        for g in range(1, group):
+            s_cur = _scores(g)
+            _finish(g - 1, s_prev)
+            s_prev = s_cur
+        _finish(group - 1, s_prev)
+    else:
+        def body(g, _):
+            _finish(g, _scores(g))
+            return 0
+
+        jax.lax.fori_loop(0, group, body, 0)
 
 
 def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
@@ -155,22 +167,25 @@ def _unpad_t(xt, b, h, l, d):
     return xt[:, :d, :l].reshape(b, h, d, l)
 
 
-# Grouping budget, swept END-TO-END on the MNIST 1000-step sampler (v5e,
-# round 2): 2/6/10 MB (group=1) -> 9.8 samples/s; 64 MB (group=64) -> 8.9.
-# Small grid steps pipeline fine through Mosaic's double buffering; big
-# groups serialize DMA behind a long in-kernel fori_loop.  An in-context
-# microbench that suggested group=1 was 5x slower did not survive the
-# end-to-end A/B — keep the sweep-validated default, override via env to
-# re-test on other parts.
-_VMEM_BUDGET = int(os.environ.get("CONTROLNET_TPU_ATTN_VMEM", 10 * 1024 * 1024))
+# Grouping, swept END-TO-END on the MNIST 1000-step sampler (v5e, round 2):
+# with the sequential fori_loop body the group size is perf-neutral up to
+# ~8 and worse beyond (9.8 samples/s at 1-4, 8.9 at 64) — but with the
+# software-PIPELINED unrolled body (slice g+1's MXU scores matmul overlaps
+# slice g's VPU softmax) group=2 -> 13.2 and group=4 -> 13.3 samples/s, a
+# 35% end-to-end model win; group=8 regresses (12.3, VMEM pressure).  So:
+# pipeline by default, cap the group at 4, and size the budget so the hot
+# shapes (L<=1024) actually reach group 4.
+_VMEM_BUDGET = int(os.environ.get("CONTROLNET_TPU_ATTN_VMEM", 24 * 1024 * 1024))
+_GROUP_CAP = int(os.environ.get("CONTROLNET_TPU_ATTN_GROUP", 4))
 
 
 def _pick_group(bh: int, lq_p: int, lk_p: int, d_p: int, n_bufs: int) -> int:
-    """Largest divisor of bh whose double-buffered blocks + live score
-    matrices fit the VMEM budget."""
+    """Largest divisor of bh, capped at _GROUP_CAP, whose double-buffered
+    blocks + live score matrices fit the VMEM budget."""
     scores_bytes = 3 * lq_p * lk_p * 4
     per_slice = 2 * n_bufs * (lq_p + lk_p) * d_p * 4  # x2: double buffering
-    group = max(1, min(bh, (_VMEM_BUDGET - scores_bytes) // max(per_slice, 1)))
+    group = max(1, min(bh, _GROUP_CAP,
+                       (_VMEM_BUDGET - scores_bytes) // max(per_slice, 1)))
     while bh % group != 0:
         group -= 1
     return group

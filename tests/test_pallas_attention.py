@@ -50,3 +50,22 @@ def test_fused_attention_gradients_match_xla():
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_fused_attention_pipelined_path_matches_xla(monkeypatch):
+    """The software-pipelined (group>1, unrolled) kernel body is a pure
+    dataflow reordering — must match the XLA path exactly."""
+    import controlnet_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setenv("CONTROLNET_TPU_ATTN_PIPE", "1")
+    # force a multi-slice group for these tiny shapes
+    monkeypatch.setattr(pa, "_VMEM_BUDGET", 64 * 1024 * 1024)
+    b, h, l, d = 2, 4, 49, 8  # bh=8 -> group > 1 under a large budget
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(kq, (b, h, l, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, l, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, l, d), jnp.float32)
+    assert pa._pick_group(b * h, 128, 128, 16, n_bufs=2) > 1
+    ref = _xla_attention(q, k, v)
+    out = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
