@@ -111,15 +111,22 @@ def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     there (v = 0), and dq contracts against k = 0."""
     n_pad = k_ref.shape[2] - l_kv
 
-    def body(g, _):
+    def _bwd_scores(g):
         q = q_ref[g].astype(jnp.float32)   # (d_p, Lq_p)
         k = k_ref[g].astype(jnp.float32)   # (d_p, Lk_p)
-        v = v_ref[g].astype(jnp.float32)
-        do = do_ref[g].astype(jnp.float32)  # (d_p, Lq_p)
-
         scores = jax.lax.dot_general(
             q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
+        dp = jax.lax.dot_general(  # dP (Lq, Lk) = dO^T V — contract head dim
+            do_ref[g].astype(jnp.float32), v_ref[g].astype(jnp.float32),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return scores, dp
+
+    def _bwd_finish(g, scores, dp):
+        q = q_ref[g].astype(jnp.float32)
+        k = k_ref[g].astype(jnp.float32)
+        do = do_ref[g].astype(jnp.float32)  # (d_p, Lq_p)
+
         m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), 0.0)
         e = jnp.exp(scores - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -132,10 +139,6 @@ def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
             do, probs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(dv_ref.dtype)
 
-        # dP (Lq, Lk) = dO^T V  — contract head dim
-        dp = jax.lax.dot_general(
-            do, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
         ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
 
         # dQ_t (d, Lq) = scale * K_t (d, Lk) @ dS^T (Lk, Lq)
@@ -146,9 +149,23 @@ def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dk_ref[g] = (scale * jax.lax.dot_general(
             q, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )).astype(dk_ref.dtype)
-        return 0
 
-    jax.lax.fori_loop(0, group, body, 0)
+    if os.environ.get("CONTROLNET_TPU_ATTN_PIPE", "1") != "0" and group > 1:
+        # same software pipeline as the forward: slice g+1's MXU matmuls
+        # (scores, dP) overlap slice g's VPU softmax/ds work.
+        prev = _bwd_scores(0)
+        for g in range(1, group):
+            cur = _bwd_scores(g)
+            _bwd_finish(g - 1, *prev)
+            prev = cur
+        _bwd_finish(group - 1, *prev)
+    else:
+        def body(g, _):
+            scores, dp = _bwd_scores(g)
+            _bwd_finish(g, scores, dp)
+            return 0
+
+        jax.lax.fori_loop(0, group, body, 0)
 
 
 def _dims_t(qt, kt):
