@@ -74,17 +74,39 @@ def mesh_or_none():
     return None
 
 
+_put_batch_warned: set = set()
+
+
+def _warn_once(key: str, msg: str) -> None:
+    if key not in _put_batch_warned:
+        _put_batch_warned.add(key)
+        print(f"controlnet_tpu: {msg}")
+
+
 def put_batch(batch, mesh):
+    """Place a host batch on the mesh with the leading axis sharded over
+    ``data``.  A batch not divisible by the data-axis size is trimmed to the
+    largest divisible size (with a one-time warning) rather than silently
+    placed replicated — an unsharded batch is an N× throughput cliff on
+    exactly the runs where sharding matters.  Multi-host processes each
+    contribute their local shard (shard_host_local_batch)."""
     if mesh is None:
         return jax.tree.map(jnp.asarray, batch)
-    from controlnet_tpu.parallel.mesh import shard_batch
+    from controlnet_tpu.parallel.mesh import shard_host_local_batch
 
     n_data = mesh.shape["data"]
     leaves = jax.tree.leaves(batch)
-    if leaves and any(leaf.shape[0] % n_data != 0 for leaf in leaves):
-        # batch not divisible by the data axis — place unsharded
-        return jax.tree.map(jnp.asarray, batch)
-    return shard_batch(batch, mesh)
+    b = leaves[0].shape[0] if leaves else 0
+    if b % n_data != 0:
+        keep = (b // n_data) * n_data
+        if keep == 0:
+            _warn_once(f"tiny:{b}", f"batch of {b} smaller than the data axis "
+                       f"({n_data} shards) — placing replicated (slow path)")
+            return jax.tree.map(jnp.asarray, batch)
+        _warn_once(f"trim:{b}", f"trimming batch {b} -> {keep} for data-axis "
+                   f"({n_data}-way) divisibility; warning shown once")
+        batch = jax.tree.map(lambda x: x[:keep], batch)
+    return shard_host_local_batch(batch, mesh)
 
 
 def put_replicated(tree, mesh):

@@ -52,12 +52,15 @@ def _to_unit(im: np.ndarray) -> np.ndarray:
     return (im.astype(np.float32) / 255.0) * 2.0 - 1.0
 
 
-def _canny_hint(gray_u8: np.ndarray) -> np.ndarray:
+def _canny_hint(im_u8: np.ndarray) -> np.ndarray:
     """cv2.Canny(im, 100, 200) -> {0,1} float32 replicated to 3 channels
-    (mnist_dataset.py:56-63)."""
+    (mnist_dataset.py:56-63).  ``im_u8`` may be grayscale (MNIST/CIFAR feed
+    the gray conversion, matching the reference) or RGB (Celeb feeds the raw
+    color array — the reference runs Canny on per-channel gradients,
+    celeb_dataset.py:148-152)."""
     if cv2 is None:
         raise RuntimeError("opencv is required for return_hints=True")
-    edges = cv2.Canny(gray_u8, 100, 200)
+    edges = cv2.Canny(im_u8, 100, 200)
     hint = (edges > 0).astype(np.float32)
     return np.repeat(hint[..., None], 3, axis=-1)
 
@@ -67,8 +70,8 @@ def _resize_center_crop(img: Image.Image, size: int) -> Image.Image:
     scale the short side to ``size``, then crop the center square."""
     w, h = img.size
     if min(w, h) != size:
-        scale = size / min(w, h)
-        nw, nh = max(size, round(w * scale)), max(size, round(h * scale))
+        # torchvision Resize truncates the long side: int(size * long / short)
+        nw, nh = ((size, int(size * h / w)) if w < h else (int(size * w / h), size))
         img = img.resize((nw, nh), Image.BILINEAR)
     w, h = img.size
     left, top = (w - size) // 2, (h - size) // 2
@@ -231,9 +234,11 @@ class CelebDataset:
         return len(self.images)
 
     def _load_hint(self, path: str) -> np.ndarray:
+        # Canny on the raw RGB array (per-channel gradients), matching the
+        # reference's hint distribution (celeb_dataset.py:148-152) — NOT on a
+        # grayscale conversion like MNIST/CIFAR.
         img = _resize_center_crop(Image.open(path).convert("RGB"), self.canny_im_size)
-        gray = cv2.cvtColor(np.asarray(img), cv2.COLOR_RGB2GRAY)
-        return _canny_hint(gray)
+        return _canny_hint(np.asarray(img))
 
     def __getitem__(self, index: int):
         path = self._paths[index]
@@ -282,6 +287,12 @@ def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
         chunks = [order]
     else:
         chunks = [order[i * batch_size:(i + 1) * batch_size] for i in range(num_batches)]
+        dropped = n - num_batches * batch_size
+        if dropped and not getattr(iterate_batches, "_warned_drop", False):
+            iterate_batches._warned_drop = True
+            print(f"iterate_batches: dropping trailing partial batch of "
+                  f"{dropped} sample(s) per epoch to keep static shapes "
+                  f"({n} samples, batch {batch_size}); warning shown once")
 
     if prefetch <= 0:
         for idx in chunks:
@@ -292,21 +303,26 @@ def iterate_batches(dataset, batch_size: int, shuffle: bool = False,
     stop = threading.Event()
     _SENTINEL = object()
 
+    def _put(item) -> None:
+        # stop-aware put: a plain blocking q.put would leak this thread (and
+        # up to ``prefetch`` collated batches) forever if the consumer
+        # abandons the generator while the queue is full
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
     def _producer() -> None:
         try:
             for idx in chunks:
                 if stop.is_set():
                     return
-                batch = _collate([dataset[int(i)] for i in idx])
-                while not stop.is_set():
-                    try:
-                        q.put(batch, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-            q.put(_SENTINEL)
+                _put(_collate([dataset[int(i)] for i in idx]))
+            _put(_SENTINEL)
         except BaseException as e:  # surface worker errors to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=_producer, daemon=True)
     t.start()

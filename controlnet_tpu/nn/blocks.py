@@ -66,7 +66,10 @@ class _ResnetLayer:
     def __call__(self, p: Params, x: jax.Array, t_emb: jax.Array | None) -> jax.Array:
         h = self.conv1(p["conv1"], silu(self.norm1(p["norm1"], x)))
         if self.t_emb_dim is not None:
-            h = h + self.t_proj(p["t_proj"], silu(t_emb))[:, None, None, :]
+            # cast the (f32) time-embedding contribution to the activation
+            # dtype — without this, bf16 activations silently promote to f32
+            # at the first t-add and the rest of the network runs f32
+            h = h + self.t_proj(p["t_proj"], silu(t_emb))[:, None, None, :].astype(h.dtype)
         h = self.conv2(p["conv2"], silu(self.norm2(p["norm2"], h)))
         return h + self.skip(p["skip"], x)
 
@@ -75,7 +78,7 @@ class _ResnetLayer:
         """Transposed-layout forward: x is (C, B, L) (ops/tl_conv.py)."""
         h = self.conv1.tl(p["conv1"], silu(self.norm1.tl(p["norm1"], x)), hw)
         if self.t_emb_dim is not None:
-            h = h + self.t_proj(p["t_proj"], silu(t_emb)).T[:, :, None]
+            h = h + self.t_proj(p["t_proj"], silu(t_emb)).T[:, :, None].astype(h.dtype)
         h = self.conv2.tl(p["conv2"], silu(self.norm2.tl(p["norm2"], h)), hw)
         return h + self.skip.tl(p["skip"], x, hw)
 

@@ -40,19 +40,23 @@ def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_q: int,
     per-slice shapes) while keeping only one (Lq, Lk) score matrix live in
     VMEM at a time.
 
-    The softmax is VPU-pass-bound at these sizes, so two passes are removed
-    analytically instead of masked:
-    * k is zero-padded on its Lk pad lanes, so pad columns contribute a
-      score of exactly 0; the row max only needs max(scores, 0) for
-      stability, and the pad columns' contribution to the denominator is
-      exactly n_pad * exp(-m) — subtracted in scalar-per-row work instead
-      of a (Lq, Lk) mask pass.
-    * v is zero-padded too, so pad columns never reach the output matmul.
+    The softmax is VPU-pass-bound at these sizes, so the Lk pad columns are
+    handled without a (Lq, Lk) mask materialization:
+    * the row max m is reduced over a static slice of the valid columns
+      only (scores[:, :l_kv]) — the true softmax max, so valid-column
+      precision never degrades no matter how negative the scores are (the
+      earlier analytic n_pad*exp(-m) correction cancelled catastrophically
+      when every valid score was << 0, ADVICE round 2);
+    * e = exp(min(scores - m, 0)): valid columns have scores <= m so the
+      clamp is a no-op there, while pad columns (score exactly 0, k is
+      zero-padded) clamp to at most exp(0) = 1 instead of overflowing when
+      m < 0;
+    * the denominator sums the valid slice only, so it is always >= 1
+      (the max column contributes exp(0)); pad columns of probs are finite
+      junk that the output matmul multiplies by v's zero pad lanes.
     * only the l_q valid rows (sublane granule 8) enter the softmax.
     """
     lq_p = q_ref.shape[2]
-    lk_p = k_ref.shape[2]
-    n_pad = lk_p - l_kv
     rows = l_q if (l_q % 8 == 0) else lq_p
 
     # Operands are upcast to f32: keeping bf16 inputs bf16 through the MXU
@@ -68,11 +72,9 @@ def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_q: int,
             preferred_element_type=jnp.float32) * scale
 
     def _finish(g, scores):
-        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), 0.0)
-        e = jnp.exp(scores - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        if n_pad:
-            denom = denom - n_pad * jnp.exp(-m)
+        m = jnp.max(scores[:, :l_kv], axis=-1, keepdims=True)
+        e = jnp.exp(jnp.minimum(scores - m, 0.0))
+        denom = jnp.sum(e[:, :l_kv], axis=-1, keepdims=True)
         probs = e / denom
         v = v_ref[g].astype(jnp.float32)
         # out_t (dh_p, rows): contract L_k (lane axis)
@@ -104,12 +106,12 @@ def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     (Lq, Lk) matrix as a residual), then the standard softmax-attention
     gradients, all in the transposed (head_dim, L) layout.
 
-    Uses the same maskless softmax as the forward (k/v zero-padded, pad
-    columns' denominator share subtracted analytically) so the recomputed
-    probs match the forward bit-for-bit.  Pad columns of probs are nonzero
-    but harmless: dv/dk pad lanes are sliced away by the caller, dp is 0
-    there (v = 0), and dq contracts against k = 0."""
-    n_pad = k_ref.shape[2] - l_kv
+    Uses the same valid-slice softmax as the forward (row max and
+    denominator reduced over scores[:, :l_kv] only, exponent clamped at 0
+    for the pad columns) so the recomputed probs match the forward
+    bit-for-bit.  Pad columns of probs are nonzero but harmless: dv/dk pad
+    lanes are sliced away by the caller, dp is 0 there (v = 0), and dq
+    contracts against k = 0."""
 
     def _bwd_scores(g):
         q = q_ref[g].astype(jnp.float32)   # (d_p, Lq_p)
@@ -127,11 +129,9 @@ def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         k = k_ref[g].astype(jnp.float32)
         do = do_ref[g].astype(jnp.float32)  # (d_p, Lq_p)
 
-        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), 0.0)
-        e = jnp.exp(scores - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        if n_pad:
-            denom = denom - n_pad * jnp.exp(-m)
+        m = jnp.max(scores[:, :l_kv], axis=-1, keepdims=True)
+        e = jnp.exp(jnp.minimum(scores - m, 0.0))
+        denom = jnp.sum(e[:, :l_kv], axis=-1, keepdims=True)
         probs = e / denom  # (Lq_p, Lk_p)
 
         # dV_t (d, Lk) = dO_t (d, Lq) @ P (Lq, Lk)

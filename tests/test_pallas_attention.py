@@ -52,6 +52,31 @@ def test_fused_attention_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+def test_fused_attention_extreme_scores_no_nan():
+    """Regression: with Lk padding, strongly negative valid scores used to
+    cancel the pad-corrected softmax denominator to exactly 0 -> inf/NaN
+    (f32 sum rounds to n_pad*exp(-m)); the clamp must keep output finite and
+    still match XLA (the valid rows' softmax is unaffected by the clamp
+    except exactly at the degenerate point)."""
+    b, h, l, d = 1, 2, 49, 8  # l=49 -> Lk padded to 128 (79 pad columns)
+    kq, kk = jax.random.split(jax.random.PRNGKey(7))
+    # q·k scaled so every valid score is ~ -40: exp(score - m) with m=0
+    # underflows the f32 sum below the pad correction
+    q = jnp.ones((b, h, l, d), jnp.float32) * 5.0
+    k = -jnp.ones((b, h, l, d), jnp.float32) * 5.0
+    v = jax.random.normal(kk, (b, h, l, d), jnp.float32)
+    out = fused_attention(q, k, v, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    ref = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # gradients through the backward kernel must be finite too
+    g = jax.grad(lambda q, k, v: jnp.sum(fused_attention(q, k, v, True)),
+                 argnums=(0, 1, 2))(q, k, v)
+    for a in g:
+        assert bool(jnp.all(jnp.isfinite(a)))
+
+
 def test_fused_attention_pipelined_path_matches_xla(monkeypatch):
     """The software-pipelined (group>1, unrolled) kernel body is a pure
     dataflow reordering — must match the XLA path exactly."""
