@@ -40,21 +40,15 @@ def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_q: int,
     per-slice shapes) while keeping only one (Lq, Lk) score matrix live in
     VMEM at a time.
 
-    The softmax is VPU-pass-bound at these sizes, so the Lk pad columns are
-    handled without a (Lq, Lk) mask materialization:
-    * the row max m is reduced over a static slice of the valid columns
-      only (scores[:, :l_kv]) — the true softmax max, so valid-column
-      precision never degrades no matter how negative the scores are (the
-      earlier analytic n_pad*exp(-m) correction cancelled catastrophically
-      when every valid score was << 0, ADVICE round 2);
-    * e = exp(min(scores - m, 0)): valid columns have scores <= m so the
-      clamp is a no-op there, while pad columns (score exactly 0, k is
-      zero-padded) clamp to at most exp(0) = 1 instead of overflowing when
-      m < 0;
-    * the denominator sums the valid slice only, so it is always >= 1
-      (the max column contributes exp(0)); pad columns of probs are finite
-      junk that the output matmul multiplies by v's zero pad lanes.
-    * only the l_q valid rows (sublane granule 8) enter the softmax.
+    Pad-column handling: scores at columns >= l_kv are set to -1e30 via an
+    iota-generated mask (jnp.where fuses into the VPU passes — no slice
+    copies; a static slice scores[:, :l_kv] with l_kv=784 materialized an
+    unaligned 896-lane copy per reduction and blew the 16MB scoped-VMEM
+    stack in the backward kernel).  With the finite mask the row max m is
+    the true valid max, exp(-1e30 - m) underflows to exactly 0, the
+    denominator is >= exp(0) = 1 (no NaN for arbitrarily negative valid
+    scores — ADVICE round 2), and pad columns of probs are exactly 0.
+    Only the l_q valid rows (sublane granule 8) enter the softmax.
     """
     lq_p = q_ref.shape[2]
     rows = l_q if (l_q % 8 == 0) else lq_p
@@ -72,9 +66,12 @@ def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_q: int,
             preferred_element_type=jnp.float32) * scale
 
     def _finish(g, scores):
-        m = jnp.max(scores[:, :l_kv], axis=-1, keepdims=True)
-        e = jnp.exp(jnp.minimum(scores - m, 0.0))
-        denom = jnp.sum(e[:, :l_kv], axis=-1, keepdims=True)
+        if l_kv < scores.shape[-1]:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < l_kv, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
         probs = e / denom
         v = v_ref[g].astype(jnp.float32)
         # out_t (dh_p, rows): contract L_k (lane axis)
@@ -101,68 +98,88 @@ def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_q: int,
 
 
 def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                       *, scale: float, l_kv: int, group: int):
+                       *, scale: float, l_kv: int, group: int, chunk: int):
     """Backward: recompute probs (cheap at these sizes, avoids storing the
     (Lq, Lk) matrix as a residual), then the standard softmax-attention
     gradients, all in the transposed (head_dim, L) layout.
 
-    Uses the same valid-slice softmax as the forward (row max and
-    denominator reduced over scores[:, :l_kv] only, exponent clamped at 0
-    for the pad columns) so the recomputed probs match the forward
-    bit-for-bit.  Pad columns of probs are nonzero but harmless: dv/dk pad
-    lanes are sliced away by the caller, dp is 0 there (v = 0), and dq
-    contracts against k = 0."""
+    Uses the same iota-masked softmax as the forward (pad columns -> -1e30
+    before the reductions) so the recomputed probs match the forward
+    bit-for-bit; pad columns of probs are exactly 0, so dv/dk pad lanes and
+    dq contributions from the pad region vanish.
 
-    def _bwd_scores(g):
-        q = q_ref[g].astype(jnp.float32)   # (d_p, Lq_p)
-        k = k_ref[g].astype(jnp.float32)   # (d_p, Lk_p)
+    The query axis is processed in ``chunk``-row chunks (dk/dv accumulate
+    across chunks; each chunk owns its dq rows).  The software pipeline
+    keeps two (chunk, Lk) score/dP pairs live — at L = 1024 the unchunked
+    pipeline held 4 full 4 MB matrices (16 MB) and blew the 16 MB
+    scoped-VMEM stack limit; chunking bounds the live set regardless of
+    sequence length."""
+    lq_p = q_ref.shape[2]
+    n_chunks = lq_p // chunk
+
+    def _bwd_scores(g, c):
+        q = q_ref[g][:, c * chunk:(c + 1) * chunk].astype(jnp.float32)  # (d_p, chunk)
+        k = k_ref[g].astype(jnp.float32)                                # (d_p, Lk_p)
         scores = jax.lax.dot_general(
             q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        dp = jax.lax.dot_general(  # dP (Lq, Lk) = dO^T V — contract head dim
-            do_ref[g].astype(jnp.float32), v_ref[g].astype(jnp.float32),
+        dp = jax.lax.dot_general(  # dP (chunk, Lk) = dO_c^T V — contract head dim
+            do_ref[g][:, c * chunk:(c + 1) * chunk].astype(jnp.float32),
+            v_ref[g].astype(jnp.float32),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return scores, dp
 
-    def _bwd_finish(g, scores, dp):
-        q = q_ref[g].astype(jnp.float32)
+    def _bwd_finish(g, c, scores, dp):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        q = q_ref[g][:, sl].astype(jnp.float32)
         k = k_ref[g].astype(jnp.float32)
-        do = do_ref[g].astype(jnp.float32)  # (d_p, Lq_p)
+        do = do_ref[g][:, sl].astype(jnp.float32)  # (d_p, chunk)
 
-        m = jnp.max(scores[:, :l_kv], axis=-1, keepdims=True)
-        e = jnp.exp(jnp.minimum(scores - m, 0.0))
-        denom = jnp.sum(e[:, :l_kv], axis=-1, keepdims=True)
-        probs = e / denom  # (Lq_p, Lk_p)
+        if l_kv < scores.shape[-1]:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < l_kv, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        probs = e / denom  # (chunk, Lk_p)
 
-        # dV_t (d, Lk) = dO_t (d, Lq) @ P (Lq, Lk)
-        dv_ref[g] = jax.lax.dot_general(
+        # dV_t (d, Lk) = dO_c (d, chunk) @ P_c (chunk, Lk) — accumulated
+        dv_c = jax.lax.dot_general(
             do, probs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(dv_ref.dtype)
 
         ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
 
-        # dQ_t (d, Lq) = scale * K_t (d, Lk) @ dS^T (Lk, Lq)
-        dq_ref[g] = (scale * jax.lax.dot_general(
+        # dQ_t (d, chunk) = scale * K_t (d, Lk) @ dS_c^T (Lk, chunk)
+        dq_ref[g, :, sl] = (scale * jax.lax.dot_general(
             k, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )).astype(dq_ref.dtype)
-        # dK_t (d, Lk) = scale * Q_t (d, Lq) @ dS (Lq, Lk)
-        dk_ref[g] = (scale * jax.lax.dot_general(
+        # dK_t (d, Lk) = scale * Q_c (d, chunk) @ dS_c (chunk, Lk) — accumulated
+        dk_c = (scale * jax.lax.dot_general(
             q, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )).astype(dk_ref.dtype)
+        if c == 0:
+            dv_ref[g] = dv_c
+            dk_ref[g] = dk_c
+        else:
+            dv_ref[g] = dv_ref[g] + dv_c
+            dk_ref[g] = dk_ref[g] + dk_c
 
-    if os.environ.get("CONTROLNET_TPU_ATTN_PIPE", "1") != "0" and group > 1:
-        # same software pipeline as the forward: slice g+1's MXU matmuls
-        # (scores, dP) overlap slice g's VPU softmax/ds work.
-        prev = _bwd_scores(0)
-        for g in range(1, group):
-            cur = _bwd_scores(g)
-            _bwd_finish(g - 1, *prev)
-            prev = cur
-        _bwd_finish(group - 1, *prev)
+    units = [(g, c) for g in range(group) for c in range(n_chunks)]
+    if os.environ.get("CONTROLNET_TPU_ATTN_PIPE", "1") != "0" and len(units) > 1:
+        # same software pipeline as the forward: unit u+1's MXU matmuls
+        # (scores, dP) overlap unit u's VPU softmax/ds work.
+        prev_u, prev = units[0], _bwd_scores(*units[0])
+        for u in units[1:]:
+            cur = _bwd_scores(*u)
+            _bwd_finish(*prev_u, *prev)
+            prev_u, prev = u, cur
+        _bwd_finish(*prev_u, *prev)
     else:
         def body(g, _):
-            scores, dp = _bwd_scores(g)
-            _bwd_finish(g, scores, dp)
+            for c in range(n_chunks):
+                scores, dp = _bwd_scores(g, c)
+                _bwd_finish(g, c, scores, dp)
             return 0
 
         jax.lax.fori_loop(0, group, body, 0)
@@ -194,6 +211,20 @@ def _unpad_t(xt, b, h, l, d):
 # shapes (L<=1024) actually reach group 4.
 _VMEM_BUDGET = int(os.environ.get("CONTROLNET_TPU_ATTN_VMEM", 24 * 1024 * 1024))
 _GROUP_CAP = int(os.environ.get("CONTROLNET_TPU_ATTN_GROUP", 4))
+
+
+def _pick_chunk(lq_p: int, lk_p: int) -> int:
+    """Query-chunk rows for the backward kernel.  Small score matrices run
+    unchunked (the proven round-2 configuration); above 3.5 MB the pipelined
+    live set (two score/dP pairs) would exceed the 16 MB scoped-VMEM stack,
+    so pick the largest 128-multiple divisor of lq_p whose (chunk, Lk)
+    chunk stays under 2 MB f32."""
+    if lq_p * lk_p * 4 <= int(3.5 * 1024 * 1024):
+        return lq_p
+    for chunk in range(lq_p, 0, -128):
+        if lq_p % chunk == 0 and chunk * lk_p * 4 <= 2 * 1024 * 1024:
+            return chunk
+    return 128
 
 
 def _pick_group(bh: int, lq_p: int, lk_p: int, d_p: int, n_bufs: int) -> int:
@@ -279,9 +310,11 @@ def _fused_attention_bwd(interpret, res, dout):
     qt, kt, vt = _pad_t(qt4, lq_p, d_p), _pad_t(kt4, lk_p, d_p), _pad_t(vt4, lk_p, d_p)
     dot_t = _pad_t(dout, lq_p, d_p)
     group = _pick_group(b * h, lq_p, lk_p, d_p, n_bufs=4)
+    chunk = _pick_chunk(lq_p, lk_p)
 
     dqt, dkt, dvt = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel_t, scale=scale, l_kv=lk, group=group),
+        functools.partial(_attn_bwd_kernel_t, scale=scale, l_kv=lk, group=group,
+                          chunk=chunk),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, d_p, lq_p), qt4.dtype),
             jax.ShapeDtypeStruct((b * h, d_p, lk_p), kt4.dtype),

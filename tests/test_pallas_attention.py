@@ -77,6 +77,42 @@ def test_fused_attention_extreme_scores_no_nan():
         assert bool(jnp.all(jnp.isfinite(a)))
 
 
+def test_fused_attention_chunked_backward_matches_xla(monkeypatch):
+    """The query-chunked backward (used at LDM shapes, L=1024, where the
+    unchunked pipeline blew the 16MB scoped-VMEM stack) must produce the
+    same gradients as the unchunked path / XLA autodiff.  Forced at small
+    shapes by monkeypatching the chunk picker."""
+    import controlnet_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setattr(pa, "_pick_chunk", lambda lq_p, lk_p: 64)
+    b, h, l, d = 2, 4, 49, 8  # lq padded to 128 -> 2 chunks of 64
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(kq, (b, h, l, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, l, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, l, d), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(12), (b, h, l, d), jnp.float32)
+
+    gx = jax.grad(lambda q, k, v: jnp.sum(_xla_attention(q, k, v) * w),
+                  argnums=(0, 1, 2))(q, k, v)
+    for pipe in ("1", "0"):
+        monkeypatch.setenv("CONTROLNET_TPU_ATTN_PIPE", pipe)
+        gp = jax.grad(
+            lambda q, k, v: jnp.sum(fused_attention(q, k, v, True) * w),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, bb in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=3e-5)
+
+
+def test_pick_chunk_policy():
+    """MNIST shapes (L<=896) stay unchunked (the proven round-2 config);
+    LDM L=1024 chunks to 512 rows (2MB f32 score chunk)."""
+    from controlnet_tpu.ops.pallas_attention import _pick_chunk
+
+    assert _pick_chunk(896, 896) == 896
+    assert _pick_chunk(128, 128) == 128
+    assert _pick_chunk(1024, 1024) == 512
+
+
 def test_fused_attention_pipelined_path_matches_xla(monkeypatch):
     """The software-pipelined (group>1, unrolled) kernel body is a pure
     dataflow reordering — must match the XLA path exactly."""
