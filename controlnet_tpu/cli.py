@@ -109,6 +109,18 @@ def put_batch(batch, mesh):
     return shard_host_local_batch(batch, mesh)
 
 
+def compute_dtype_from(train_config: dict):
+    """Additive YAML key ``train_params.compute_dtype`` ("bfloat16" |
+    "float32"): mixed-precision training compute dtype.  None (absent or
+    "float32") = full f32, same numerics as the reference."""
+    name = str(train_config.get("compute_dtype", "float32")).lower()
+    if name in ("float32", "f32", "none"):
+        return None
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown compute_dtype {name!r} (use bfloat16 or float32)")
+
+
 def put_replicated(tree, mesh):
     if mesh is None:
         return tree

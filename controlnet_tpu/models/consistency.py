@@ -169,27 +169,34 @@ class ConsistencyDistilled:
         return eps_to_x0(self.teacher_schedule, x_t, noise_pred, t)
 
     # ------------------------------------------------------------------
-    def consistency_training_loss(self, p: Params, x0, hint, sigma_1, sigma_2, key):
+    def consistency_training_loss(self, p: Params, x0, hint, sigma_1, sigma_2, key,
+                                  compute_dtype=None):
         """EMA target at the smaller sigma vs student at the larger, shared
-        noise (:260-293)."""
+        noise (:260-293).  ``compute_dtype`` runs the two network passes in
+        reduced precision; noising and the MSE reduction stay f32."""
         s1 = jnp.minimum(sigma_1, sigma_2)
         s2 = jnp.maximum(sigma_1, sigma_2)
         noise = jax.random.normal(key, x0.shape, x0.dtype)
-        x_s1 = x0 + s1.reshape(-1, 1, 1, 1) * noise
-        x_s2 = x0 + s2.reshape(-1, 1, 1, 1) * noise
-        target = jax.lax.stop_gradient(self.student(p["ema_teacher"], x_s1, s1, hint))
-        pred = self.student(p["student"], x_s2, s2, hint)
-        return jnp.mean((pred - target) ** 2)
+        cd = compute_dtype or x0.dtype
+        x_s1 = (x0 + s1.reshape(-1, 1, 1, 1) * noise).astype(cd)
+        x_s2 = (x0 + s2.reshape(-1, 1, 1, 1) * noise).astype(cd)
+        hint_c = hint.astype(cd)
+        target = jax.lax.stop_gradient(self.student(p["ema_teacher"], x_s1, s1, hint_c))
+        pred = self.student(p["student"], x_s2, s2, hint_c)
+        return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 
     def distillation_loss(self, p: Params, x0, hint, sigma, key, alpha: float = 0.5,
-                          epoch: int | None = None, total_epochs: int | None = None):
+                          epoch: int | None = None, total_epochs: int | None = None,
+                          compute_dtype=None):
         """alpha*MSE(student, x0) + (1-alpha)*MSE(student, teacher), with the
         progressive alpha ramp (:295-330). Returns (total, recon, distill)."""
         noise = jax.random.normal(key, x0.shape, x0.dtype)
-        x_t = x0 + sigma.reshape(-1, 1, 1, 1) * noise
-        x0_student = self.student(p["student"], x_t, sigma, hint)
-        x0_teacher = self.ddpm_teacher_prediction(p, x_t, sigma, hint)
-        recon = jnp.mean((x0_student - x0) ** 2)
+        cd = compute_dtype or x0.dtype
+        x_t = (x0 + sigma.reshape(-1, 1, 1, 1) * noise).astype(cd)
+        hint_c = hint.astype(cd)
+        x0_student = self.student(p["student"], x_t, sigma, hint_c).astype(jnp.float32)
+        x0_teacher = self.ddpm_teacher_prediction(p, x_t, sigma, hint_c).astype(jnp.float32)
+        recon = jnp.mean((x0_student - x0.astype(jnp.float32)) ** 2)
         distill = jnp.mean((x0_student - x0_teacher) ** 2)
         if epoch is not None and total_epochs is not None:
             progress = epoch / total_epochs

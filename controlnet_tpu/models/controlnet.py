@@ -72,6 +72,7 @@ class ControlNet:
         down_sample_factor: int | None = None,
     ):
         self.model_locked = model_locked
+        self.down_sample_factor = down_sample_factor
         self.unet = UNet(im_channels, model_config)  # frozen trunk (full)
         self.control_unet = UNet(im_channels, model_config, use_up=False)
         dc = self.unet.down_channels

@@ -219,11 +219,17 @@ class DistributionMatchingDistilled:
             "pixel": pixel,
         }
 
-    def distillation_loss(self, p: Params, x_t, t, hint, x0_target, alpha: float = 0.3):
+    def distillation_loss(self, p: Params, x_t, t, hint, x0_target, alpha: float = 0.3,
+                          compute_dtype=None):
         """total = alpha*teacher_MSE + (1-alpha)*dmd (:339-357).
-        Returns (total, dmd_loss, teacher_loss, components)."""
-        x0_student = self.student(p["student"], x_t, t, hint)
-        x0_teacher = self.teacher_prediction(p, x_t, t, hint)
+        Returns (total, dmd_loss, teacher_loss, components).
+        ``compute_dtype`` runs student/teacher networks in reduced precision;
+        all loss reductions stay f32 (predictions cast back at the
+        boundary)."""
+        cd = compute_dtype or x_t.dtype
+        x_tc, hint_c = x_t.astype(cd), hint.astype(cd)
+        x0_student = self.student(p["student"], x_tc, t, hint_c).astype(jnp.float32)
+        x0_teacher = self.teacher_prediction(p, x_tc, t, hint_c).astype(jnp.float32)
         dmd_loss, components = self.true_distribution_matching_loss(p, x0_student, x0_target)
         teacher_loss = jnp.mean((x0_student - x0_teacher) ** 2)
         total = alpha * teacher_loss + (1.0 - alpha) * dmd_loss

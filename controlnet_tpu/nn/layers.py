@@ -92,17 +92,21 @@ class Conv2d:
 
     def __call__(self, p: Params, x: jax.Array) -> jax.Array:
         pad = self.padding
+        # Output dtype follows x: for bf16 the MXU still accumulates f32
+        # internally and rounds once at the end — and keeping the primal
+        # output dtype uniform is what makes the conv's transpose (gradient)
+        # rule well-typed under mixed-precision training.
         out = jax.lax.conv_general_dilated(
             x,
             p["w"].astype(x.dtype),
             window_strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
         )
         if self.use_bias:
-            out = out + p["b"].astype(jnp.float32)
-        return out.astype(x.dtype)
+            out = out + p["b"].astype(x.dtype)
+        return out
 
     def tl(self, p: Params, x: jax.Array, hw: tuple[int, int]) -> jax.Array:
         """Transposed-layout forward on (C, B, L) activations (ops/tl_conv.py
@@ -154,10 +158,9 @@ class ConvTranspose2d:
             strides=(s, s),
             padding=((eff, eff), (eff, eff)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
         )
-        out = out + p["b"].astype(jnp.float32)
-        return out.astype(x.dtype)
+        return out + p["b"].astype(x.dtype)
 
     def tl(self, p: Params, x: jax.Array, hw: tuple[int, int]) -> jax.Array:
         """(C, B, L) -> (C_out, B, 4L): 2x upsample in transposed layout."""
@@ -182,10 +185,10 @@ class Linear:
         return p
 
     def __call__(self, p: Params, x: jax.Array) -> jax.Array:
-        out = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+        out = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
         if self.use_bias:
-            out = out + p["b"].astype(jnp.float32)
-        return out.astype(x.dtype)
+            out = out + p["b"].astype(x.dtype)
+        return out
 
 
 class GroupNorm:
@@ -306,22 +309,21 @@ class MultiheadAttention:
             # The weight concat is loop-invariant and LICM-hoisted out of
             # sampling scans; params stay split for checkpoint parity.
             wqkv = jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1).astype(dt)
-            bqkv = jnp.concatenate([p["bq"], p["bk"], p["bv"]])
+            bqkv = jnp.concatenate([p["bq"], p["bk"], p["bv"]]).astype(dt)
             qkv = jnp.einsum("blc,cd->bdl", q_in, wqkv,
-                             preferred_element_type=jnp.float32) + bqkv[None, :, None]
+                             preferred_element_type=dt) + bqkv[None, :, None]
             qt, kt, vt = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
         else:
             qt = jnp.einsum("blc,cd->bdl", q_in, p["wq"].astype(dt),
-                            preferred_element_type=jnp.float32) + p["bq"][None, :, None]
-            kt = jnp.einsum("blc,cd->bdl", kv_in, p["wk"].astype(dt),
-                            preferred_element_type=jnp.float32) + p["bk"][None, :, None]
-            vt = jnp.einsum("blc,cd->bdl", kv_in, p["wv"].astype(dt),
-                            preferred_element_type=jnp.float32) + p["bv"][None, :, None]
-        out_t = multi_head_attention_t(qt.astype(dt), kt.astype(dt), vt.astype(dt),
-                                       self.num_heads)
+                            preferred_element_type=dt) + p["bq"].astype(dt)[None, :, None]
+            kt = jnp.einsum("blc,cd->bdl", kv_in.astype(dt), p["wk"].astype(dt),
+                            preferred_element_type=dt) + p["bk"].astype(dt)[None, :, None]
+            vt = jnp.einsum("blc,cd->bdl", kv_in.astype(dt), p["wv"].astype(dt),
+                            preferred_element_type=dt) + p["bv"].astype(dt)[None, :, None]
+        out_t = multi_head_attention_t(qt, kt, vt, self.num_heads)
         out = jnp.einsum("bdl,dc->blc", out_t, p["wo"].astype(dt),
-                         preferred_element_type=jnp.float32) + p["bo"]
-        return out.astype(dt)
+                         preferred_element_type=dt) + p["bo"].astype(dt)
+        return out
 
     def tl(self, p: Params, x_tl: jax.Array, kv_in: jax.Array | None = None) -> jax.Array:
         """Attention on transposed-layout tokens (C, B, L) -> (C, B, L).
@@ -330,22 +332,21 @@ class MultiheadAttention:
 
         dt = x_tl.dtype
         qt = jnp.einsum("cbl,cd->bdl", x_tl, p["wq"].astype(dt),
-                        preferred_element_type=jnp.float32) + p["bq"][None, :, None]
+                        preferred_element_type=dt) + p["bq"].astype(dt)[None, :, None]
         if kv_in is None:
             kt = jnp.einsum("cbl,cd->bdl", x_tl, p["wk"].astype(dt),
-                            preferred_element_type=jnp.float32) + p["bk"][None, :, None]
+                            preferred_element_type=dt) + p["bk"].astype(dt)[None, :, None]
             vt = jnp.einsum("cbl,cd->bdl", x_tl, p["wv"].astype(dt),
-                            preferred_element_type=jnp.float32) + p["bv"][None, :, None]
+                            preferred_element_type=dt) + p["bv"].astype(dt)[None, :, None]
         else:
-            kt = jnp.einsum("blc,cd->bdl", kv_in, p["wk"].astype(dt),
-                            preferred_element_type=jnp.float32) + p["bk"][None, :, None]
-            vt = jnp.einsum("blc,cd->bdl", kv_in, p["wv"].astype(dt),
-                            preferred_element_type=jnp.float32) + p["bv"][None, :, None]
-        out_t = multi_head_attention_t(qt.astype(dt), kt.astype(dt), vt.astype(dt),
-                                       self.num_heads)
+            kt = jnp.einsum("blc,cd->bdl", kv_in.astype(dt), p["wk"].astype(dt),
+                            preferred_element_type=dt) + p["bk"].astype(dt)[None, :, None]
+            vt = jnp.einsum("blc,cd->bdl", kv_in.astype(dt), p["wv"].astype(dt),
+                            preferred_element_type=dt) + p["bv"].astype(dt)[None, :, None]
+        out_t = multi_head_attention_t(qt, kt, vt, self.num_heads)
         out = jnp.einsum("bdl,dc->cbl", out_t, p["wo"].astype(dt),
-                         preferred_element_type=jnp.float32) + p["bo"][:, None, None]
-        return out.astype(dt)
+                         preferred_element_type=dt) + p["bo"].astype(dt)[:, None, None]
+        return out
 
 
 class Identity:

@@ -40,26 +40,42 @@ def _apply(tx: optax.GradientTransformation, state: TrainState, grads) -> TrainS
     return TrainState(step=state.step + 1, params=params, opt_state=opt_state)
 
 
+def _cast(x, dtype):
+    """Mixed-precision cast boundary: master params/optimizer/schedule math
+    stay f32; only the network forward/backward runs in ``dtype`` (layers
+    accumulate matmuls/convs in f32 via preferred_element_type, so bf16
+    activations lose little accuracy).  ``None`` = full f32."""
+    if dtype is None or x is None:
+        return x
+    return x.astype(dtype)
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # DDPM / LDM epsilon-prediction
 # ---------------------------------------------------------------------------
 
-def make_ddpm_train_step(model, sched: LinearSchedule, tx: optax.GradientTransformation):
+def make_ddpm_train_step(model, sched: LinearSchedule, tx: optax.GradientTransformation,
+                         compute_dtype=None):
     """model: callable (params, x, t) -> eps prediction (UNet).
 
     step(state, images, key) -> (state, loss).  images NHWC in [-1, 1]
-    (or latents)."""
+    (or latents).  ``compute_dtype=jnp.bfloat16`` runs the UNet
+    forward/backward in bf16 (noising + loss + optimizer stay f32)."""
 
     def step(state: TrainState, images: jax.Array, key: jax.Array):
         kt, kn = jax.random.split(key)
         b = images.shape[0]
         t = jax.random.randint(kt, (b,), 0, sched.num_timesteps)
         noise = jax.random.normal(kn, images.shape, images.dtype)
-        noisy = add_noise(sched, images, noise, t)
+        noisy = _cast(add_noise(sched, images, noise, t), compute_dtype)
 
         def loss_fn(p):
             pred = model(p, noisy, t)
-            return jnp.mean((pred - noise) ** 2)
+            return jnp.mean((_f32(pred) - noise) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return _apply(tx, state, grads), loss
@@ -71,7 +87,8 @@ def make_ddpm_train_step(model, sched: LinearSchedule, tx: optax.GradientTransfo
 # ControlNet (frozen trunk + trainable control branch)
 # ---------------------------------------------------------------------------
 
-def make_controlnet_train_step(cn: ControlNet, sched: LinearSchedule, tx: optax.GradientTransformation):
+def make_controlnet_train_step(cn: ControlNet, sched: LinearSchedule, tx: optax.GradientTransformation,
+                               compute_dtype=None):
     """step(state, frozen, images, hints, key) -> (state, loss).
 
     ``state.params`` is the *trainable* split (control branch + zero convs
@@ -82,12 +99,13 @@ def make_controlnet_train_step(cn: ControlNet, sched: LinearSchedule, tx: optax.
         b = images.shape[0]
         t = jax.random.randint(kt, (b,), 0, sched.num_timesteps)
         noise = jax.random.normal(kn, images.shape, images.dtype)
-        noisy = add_noise(sched, images, noise, t)
+        noisy = _cast(add_noise(sched, images, noise, t), compute_dtype)
+        hints_c = _cast(hints, compute_dtype)
 
         def loss_fn(trainable):
             p = cn.merge_params(trainable, frozen)
-            pred = cn(p, noisy, t, hints)
-            return jnp.mean((pred - noise) ** 2)
+            pred = cn(p, noisy, t, hints_c)
+            return jnp.mean((_f32(pred) - noise) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return _apply(tx, state, grads), loss
@@ -109,6 +127,7 @@ def make_vae_gan_train_step(
     disc_weight: float,
     kl_weight: float,
     perceptual_weight: float,
+    compute_dtype=None,
 ):
     """step(g_state, d_state, lpips_params, images, key, step_count)
       -> (g_state, d_state, metrics dict)
@@ -121,14 +140,19 @@ def make_vae_gan_train_step(
 
     def step(g_state: TrainState, d_state: TrainState, lpips_params, images, key, step_count):
         disc_on = (step_count > disc_start).astype(jnp.float32)
+        x_in = _cast(images, compute_dtype)
 
         def g_loss_fn(vae_params):
-            recon, enc = vae(vae_params, images, key)
-            mean, logvar = jnp.split(enc, 2, axis=-1)
+            recon, enc = vae(vae_params, x_in, key)
+            mean, logvar = jnp.split(_f32(enc), 2, axis=-1)
             kl = jnp.mean(0.5 * jnp.sum(jnp.exp(logvar) + mean**2 - 1.0 - logvar, axis=(1, 2, 3)))
-            recon_loss = jnp.mean((recon - images) ** 2)
-            fool = jnp.mean((discriminator(d_state.params, recon) - 1.0) ** 2)
-            lp = jnp.mean(lpips(lpips_params, recon, images))
+            recon_f = _f32(recon)
+            recon_loss = jnp.mean((recon_f - images) ** 2)
+            fool = jnp.mean((_f32(discriminator(d_state.params, recon)) - 1.0) ** 2)
+            # LPIPS (loss-side perceptual net) always runs f32: its conv
+            # weights are raw f32 arrays and perceptual distances are part
+            # of the loss, not the hot VAE forward.
+            lp = jnp.mean(lpips(lpips_params, recon_f, images))
             g_loss = (
                 recon_loss
                 + kl_weight * kl
@@ -143,8 +167,8 @@ def make_vae_gan_train_step(
         g_state = _apply(tx_g, g_state, g_grads)
 
         def d_loss_fn(d_params):
-            fake_pred = discriminator(d_params, jax.lax.stop_gradient(recon))
-            real_pred = discriminator(d_params, images)
+            fake_pred = _f32(discriminator(d_params, jax.lax.stop_gradient(recon)))
+            real_pred = _f32(discriminator(d_params, x_in))
             d_loss = disc_weight * (jnp.mean(fake_pred**2) + jnp.mean((real_pred - 1.0) ** 2)) / 2.0
             return disc_on * d_loss, d_loss
 
@@ -173,6 +197,7 @@ def make_consistency_train_step(
     tx: optax.GradientTransformation,
     mode: str = "ddpm_distillation",
     total_epochs: int | None = None,
+    compute_dtype=None,
 ):
     """modes (tools/train_consistency_controlnet_distilled.py:79-141):
       * "ddpm_distillation" (default): log-uniform sigma; alpha*recon +
@@ -204,7 +229,8 @@ def make_consistency_train_step(
 
             def loss_fn(student):
                 pp = {**p, "student": student}
-                loss = model.consistency_training_loss(pp, x0, hint, s1, s2, k3)
+                loss = model.consistency_training_loss(pp, x0, hint, s1, s2, k3,
+                                                       compute_dtype=compute_dtype)
                 return loss, {"consistency_loss": loss}
 
         else:
@@ -226,7 +252,8 @@ def make_consistency_train_step(
 
             def loss_fn(student):
                 pp = {**p, "student": student}
-                total, recon, distill = model.distillation_loss(pp, x0, hint, sigma, k3, alpha=alpha)
+                total, recon, distill = model.distillation_loss(
+                    pp, x0, hint, sigma, k3, alpha=alpha, compute_dtype=compute_dtype)
                 return total, {"total_loss": total, "recon_loss": recon, "distill_loss": distill}
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -244,7 +271,8 @@ def make_consistency_train_step(
 # Distribution-matching distillation
 # ---------------------------------------------------------------------------
 
-def make_dmd_train_step(model: DistributionMatchingDistilled, tx: optax.GradientTransformation):
+def make_dmd_train_step(model: DistributionMatchingDistilled, tx: optax.GradientTransformation,
+                        compute_dtype=None):
     """step(state, teacher, features, x0, hint, key) -> (state, metrics).
 
     Reproduces DMDTrainer.train_epoch (train_distribution_matching...py:
@@ -266,7 +294,8 @@ def make_dmd_train_step(model: DistributionMatchingDistilled, tx: optax.Gradient
 
         def loss_fn(student):
             p = {"student": student, "teacher": teacher, "features": features}
-            total, dmd, teacher_l, comps = model.distillation_loss(p, x_t, t, hint, x0)
+            total, dmd, teacher_l, comps = model.distillation_loss(
+                p, x_t, t, hint, x0, compute_dtype=compute_dtype)
             return total, {"total_loss": total, "dist_matching_loss": dmd,
                            "teacher_loss": teacher_l, **comps}
 

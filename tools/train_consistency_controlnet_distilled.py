@@ -95,7 +95,8 @@ def train(args):
     # stays fixed at 0.5 (train_consistency...py:103,129 — the progressive
     # ramp exists only at library level, consistency_controlnet_distilled.py:
     # 320-325). Pass total_epochs here to opt into the ramp.
-    step = make_consistency_train_step(model, tx, mode=mode, total_epochs=None)
+    step = make_consistency_train_step(model, tx, mode=mode, total_epochs=None,
+                                       compute_dtype=cli.compute_dtype_from(train_config))
 
     batch_size = train_config["batch_size"]
     for epoch_idx in range(start_epoch, num_epochs):

@@ -107,7 +107,8 @@ def train(args):
     state = cli.put_replicated(state, mesh)
     teacher = cli.put_replicated(p["teacher"], mesh)
     features = cli.put_replicated(p["features"], mesh)
-    step = make_dmd_train_step(model, tx)
+    step = make_dmd_train_step(model, tx,
+                               compute_dtype=cli.compute_dtype_from(train_config))
 
     @jax.jit
     def val_loss(student, x0, hint, key):

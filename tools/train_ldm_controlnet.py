@@ -86,7 +86,8 @@ def train(args):
     mesh = cli.mesh_or_none()
     state = cli.put_replicated(state, mesh)
     frozen = cli.put_replicated(frozen, mesh)
-    step = make_controlnet_train_step(cn, sched, tx)
+    step = make_controlnet_train_step(cn, sched, tx,
+                                      compute_dtype=cli.compute_dtype_from(train_config))
 
     num_epochs = train_config["controlnet_epochs"]
     for epoch_idx in range(start_epoch, num_epochs):

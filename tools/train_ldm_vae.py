@@ -101,7 +101,8 @@ def train(args):
 
     mesh = cli.mesh_or_none()
     state = cli.put_replicated(state, mesh)
-    step = make_ddpm_train_step(lambda p, x, t: unet(p, x, t), sched, tx)
+    step = make_ddpm_train_step(lambda p, x, t: unet(p, x, t), sched, tx,
+                                compute_dtype=cli.compute_dtype_from(train_config))
 
     num_epochs = train_config["ldm_epochs"]
     for epoch_idx in range(start_epoch, num_epochs):

@@ -103,6 +103,7 @@ def train(args):
         disc_weight=train_config["disc_weight"],
         kl_weight=train_config["kl_weight"],
         perceptual_weight=train_config["perceptual_weight"],
+        compute_dtype=cli.compute_dtype_from(train_config),
     )
 
     mesh = cli.mesh_or_none()
