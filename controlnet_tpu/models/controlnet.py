@@ -148,7 +148,22 @@ class ControlNet:
         """Hint-encoder features (conv_in-resolution).  The hint is constant
         across a sampling loop, so samplers precompute this ONCE and pass it
         via ``hint_features`` — for CelebHQ this removes a 1024^2-input conv
-        stack from every one of the 1000 denoising steps."""
+        stack from every one of the 1000 denoising steps.
+
+        The dynamic (LDM) encoder runs in transposed layout (C, B, L): its
+        low-channel full-res stages (16 @ 1024^2 for CelebHQ) lane-pad 8x in
+        NHWC — 16 GB of HBM padding at training batch 16, a hard OOM on a
+        16 GB v5e chip.  TL keeps them pad-free (ops/tl_conv.py).  Numerics
+        match the NHWC path to float tolerance (tests/test_tl_parity.py)."""
+        import os
+
+        from controlnet_tpu.ops import tl_conv
+
+        if (self.down_sample_factor is not None
+                and os.environ.get("CONTROLNET_TPU_TL_HINT", "1") != "0"):
+            out, out_hw = self.hint_block.tl(
+                p["hint_block"], tl_conv.to_tl(hint), hint.shape[1:3])
+            return tl_conv.from_tl(out, out_hw)
         return self.hint_block(p["hint_block"], hint)
 
     def __call__(self, p: Params, x: jax.Array, t: jax.Array, hint: jax.Array | None = None,
@@ -166,7 +181,7 @@ class ControlNet:
         c_t_emb = ctrl.time_embed(p["control_unet"], t)
         if hint_features is None:
             assert hint is not None, "pass hint or precomputed hint_features"
-            hint_features = self.hint_block(p["hint_block"], hint)
+            hint_features = self.hint_features(p, hint)
         c_out = ctrl.stem(p["control_unet"], x) + hint_features
 
         c_down_outs = []
@@ -216,7 +231,7 @@ class ControlNet:
 
         if hint_features is None:
             assert hint is not None, "pass hint or precomputed hint_features"
-            hint_features = self.hint_block(p["hint_block"], hint)
+            hint_features = self.hint_features(p, hint)
 
         def stack2(a, b):
             return jax.tree.map(lambda u, v: jnp.stack([u, v]), a, b)
@@ -264,7 +279,7 @@ class ControlNet:
         c_t_emb = ctrl.time_embed(p["control_unet"], t)
         if hint_features is None:
             assert hint is not None, "pass hint or precomputed hint_features"
-            hint_features = self.hint_block(p["hint_block"], hint)
+            hint_features = self.hint_features(p, hint)
         c_out, _ = ctrl.stem_tl(p["control_unet"], x)
         c_out = c_out + to_tl(hint_features)
 

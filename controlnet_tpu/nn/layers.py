@@ -121,6 +121,8 @@ class Conv2d:
             return tl_conv.conv1x1_tl(p["w"], b, x)
         if self.kernel_size == 4 and self.stride == 2 and self.padding == 1:
             return tl_conv.downconv4_tl(p["w"], b, x, hw)
+        if self.kernel_size == 3 and self.stride == 2 and self.padding == 1:
+            return tl_conv.conv3x3s2_tl(p["w"], b, x, hw)
         # Rare shapes: round-trip through NHWC (correct, not hot).
         out = self(p, tl_conv.from_tl(x, hw))
         return tl_conv.to_tl(out)
@@ -394,3 +396,23 @@ class Sequential:
             else:
                 x = s(sp, x)
         return x
+
+    def tl(self, p: Params, x: jax.Array, hw: tuple[int, int]) -> tuple[jax.Array, tuple[int, int]]:
+        """Transposed-layout forward on (C, B, L) activations for conv/
+        activation chains (the hint encoders).  Tracks spatial dims through
+        strided convs statically; returns (out, final_hw)."""
+        h, w = hw
+        for s, sp in zip(self.steps, p["layers"]):
+            if s == "silu":
+                x = silu(x)
+            elif s == "relu":
+                x = jax.nn.relu(x)
+            elif s == "leaky_relu":
+                x = leaky_relu(x)
+            elif isinstance(s, str):
+                raise ValueError(f"unknown activation {s}")
+            else:
+                x = s.tl(sp, x, (h, w))
+                if getattr(s, "stride", 1) == 2:
+                    h, w = h // 2, w // 2
+        return x, (h, w)

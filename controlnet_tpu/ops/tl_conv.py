@@ -132,19 +132,17 @@ def _space_to_depth_tl(x: Array, hw: tuple[int, int]) -> Array:
     return x.reshape(4 * c, b, (h // 2) * (w // 2))
 
 
-def downconv4_tl(w_hwio: Array, bias: Array | None, x: Array,
-                 hw: tuple[int, int]) -> Array:
-    """4x4 stride-2 pad-1 conv (the DownBlock downsample, nn/blocks.py:137)
-    on TL activations.  Exact reformulation: space-to-depth by 2, then each
-    of the 16 kernel taps reads one s2d channel group at one (du, dv)
-    offset on the half-res grid — K = 16*C_in, a well-shaped contraction
-    (512 for C=32).
+def _strided_conv_tl(w_hwio: Array, bias: Array | None, x: Array,
+                     hw: tuple[int, int]) -> Array:
+    """kxk stride-2 pad-1 conv on TL activations — exact reformulation:
+    space-to-depth by 2, then each of the k*k kernel taps reads one s2d
+    channel group at one (du, dv) offset on the half-res grid — K =
+    k*k*C_in, a well-shaped contraction.
 
     Derivation: input row 2u+ky-1 = 2(u+du)+a with a=(ky+1)%2,
     du=(ky-1-a)/2, so ky -> (a, du) = 0:(1,-1) 1:(0,0) 2:(1,0) 3:(0,1).
     """
     kh, kw, cin, cout = w_hwio.shape
-    assert kh == 4 and kw == 4
     h, w = hw
     h2, w2 = h // 2, w // 2
     c, b, _ = x.shape
@@ -158,18 +156,36 @@ def downconv4_tl(w_hwio: Array, bias: Array | None, x: Array,
         return a, (k - 1 - a) // 2
 
     cols, wparts = [], []
-    for ky in range(4):
+    for ky in range(kh):
         a, du = ktap(ky)
-        for kx in range(4):
+        for kx in range(kw):
             bb, dv = ktap(kx)
             grp = (a * 2 + bb) * cin
             s = du * w2 + dv
             sl = jax.lax.slice(gp, (grp, pad + s), (grp + cin, pad + s + b * l2))
             cols.append(sl.reshape(cin, b, l2) * _tap_mask((h2, w2), du, dv, x.dtype))
             wparts.append(w_hwio[ky, kx])  # (I, O)
-    cols = jnp.concatenate(cols, axis=0)  # (16C, B, L/4)
-    w_flat = jnp.concatenate(wparts, axis=0).T.astype(x.dtype)  # (O, 16C)
+    cols = jnp.concatenate(cols, axis=0)  # (k*k*C, B, L/4)
+    w_flat = jnp.concatenate(wparts, axis=0).T.astype(x.dtype)  # (O, k*k*C)
     return _matmul_tl(w_flat, cols, bias)
+
+
+def downconv4_tl(w_hwio: Array, bias: Array | None, x: Array,
+                 hw: tuple[int, int]) -> Array:
+    """4x4 stride-2 pad-1 conv (the DownBlock downsample, nn/blocks.py:137)
+    on TL activations (K = 16*C_in, e.g. 512 for C=32)."""
+    assert w_hwio.shape[:2] == (4, 4)
+    return _strided_conv_tl(w_hwio, bias, x, hw)
+
+
+def conv3x3s2_tl(w_hwio: Array, bias: Array | None, x: Array,
+                 hw: tuple[int, int]) -> Array:
+    """3x3 stride-2 pad-1 conv (the LDM hint-encoder downsample,
+    models/controlnet.py:52-62 / reference controlnet_ldm.py:45-79) on TL
+    activations — the layout that keeps low-channel full-res hint features
+    pad-free (NHWC at C=16, 1024^2 lane-pads 8x and OOMs HBM)."""
+    assert w_hwio.shape[:2] == (3, 3)
+    return _strided_conv_tl(w_hwio, bias, x, hw)
 
 
 def upconvT4_tl(w_hwio: Array, bias: Array | None, x: Array,

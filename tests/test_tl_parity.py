@@ -49,6 +49,47 @@ def test_conv1x1_tl():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
 
 
+@pytest.mark.parametrize("b,h,w,cin,cout", [(2, 8, 8, 8, 16), (1, 12, 6, 4, 4), (2, 16, 16, 3, 16)])
+def test_conv3x3s2_tl(b, h, w, cin, cout):
+    """The LDM hint-encoder downsample (3x3 stride-2 pad-1)."""
+    from controlnet_tpu.ops.tl_conv import conv3x3s2_tl
+
+    layer = Conv2d(cin, cout, 3, stride=2, padding=1)
+    p = layer.init(jax.random.PRNGKey(0))
+    x = _rand_nhwc(jax.random.PRNGKey(1), b, h, w, cin)
+    ref = layer(p, x)
+    out = from_tl(conv3x3s2_tl(p["w"], p["b"], to_tl(x), (h, w)), (h // 2, w // 2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+
+def test_dynamic_hint_block_tl_matches_nhwc():
+    """The full LDM hint encoder in TL layout (the CelebHQ HBM-padding fix,
+    models/controlnet.py hint_features) == NHWC forward, values and grads."""
+    from controlnet_tpu.models.controlnet import _dynamic_hint_block
+    from controlnet_tpu.ops.tl_conv import to_tl as _to_tl
+
+    blk = _dynamic_hint_block(3, 16, down_sample_factor=4)
+    p = blk.init(jax.random.PRNGKey(0))
+    # zero-conv tail would make outputs trivially 0 — randomize it
+    p["layers"][-1]["w"] = jax.random.normal(
+        jax.random.PRNGKey(2), p["layers"][-1]["w"].shape) * 0.1
+    hint = _rand_nhwc(jax.random.PRNGKey(1), 2, 16, 16, 3)
+    ref = blk(p, hint)
+
+    def tl_fwd(p, hint):
+        out, out_hw = blk.tl(p, _to_tl(hint), hint.shape[1:3])
+        return from_tl(out, out_hw)
+
+    out = tl_fwd(p, hint)
+    assert out.shape == ref.shape == (2, 4, 4, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+    g_ref = jax.grad(lambda p: jnp.sum(blk(p, hint) ** 2))(p)
+    g_tl = jax.grad(lambda p: jnp.sum(tl_fwd(p, hint) ** 2))(p)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4), g_tl, g_ref)
+
+
 @pytest.mark.parametrize("b,h,w,cin,cout", [(2, 8, 8, 8, 16), (1, 12, 6, 4, 4)])
 def test_downconv4_tl(b, h, w, cin, cout):
     layer = Conv2d(cin, cout, 4, stride=2, padding=1)
