@@ -214,15 +214,33 @@ class GroupNorm:
         }
 
     def __call__(self, p: Params, x: jax.Array) -> jax.Array:
+        # Staged reduction that never leaves the NHWC/(B,L,C) layout: a
+        # spatial-only sum/sumsq to (B, C) (lane-preserving, the global-
+        # avg-pool pattern), then a tiny (B, G, C/G) fold.  The naive
+        # reshape-to-(B,*,G,C/G) formulation made XLA transpose every
+        # activation to a planar C-major f32 layout and back — two 40 us
+        # copies per GN instance, ~26% of the whole LDM sampling step
+        # (docs/DESIGN.md round-3 profile).  The elementwise apply stays in
+        # the input layout so XLA fuses it into neighbors.  Stats in f32;
+        # E[x^2]-E[x]^2 in f32 matches the two-pass torch variance to well
+        # under test tolerance at these magnitudes.
         orig_dtype = x.dtype
         b = x.shape[0]
         g = self.num_groups
-        xf = x.astype(jnp.float32).reshape(b, -1, g, self.channels // g)
-        mean = xf.mean(axis=(1, 3), keepdims=True)
-        var = xf.var(axis=(1, 3), keepdims=True)
-        xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        xf = xf.reshape(x.shape)
-        out = xf * p["scale"] + p["bias"]
+        c = self.channels
+        cg = c // g
+        xf = x.astype(jnp.float32)
+        red = tuple(range(1, x.ndim - 1))  # spatial/token axes
+        n = math.prod(x.shape[1:-1]) * cg
+        s = jnp.sum(xf, axis=red).reshape(b, g, cg).sum(-1)  # (B, G)
+        ss = jnp.sum(xf * xf, axis=red).reshape(b, g, cg).sum(-1)
+        mean = s / n
+        var = jnp.maximum(ss / n - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + self.eps)
+        shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        mean_c = jnp.repeat(mean, cg, axis=1).reshape(shape)
+        inv_c = jnp.repeat(inv, cg, axis=1).reshape(shape)
+        out = (xf - mean_c) * inv_c * p["scale"] + p["bias"]
         return out.astype(orig_dtype)
 
     def tl(self, p: Params, x: jax.Array) -> jax.Array:
