@@ -72,6 +72,78 @@ def test_batch_sharded_sampling(tiny_model_config):
     assert np.all(np.isfinite(np.asarray(x0)))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_data_parallel_scaling_shape(tiny_model_config):
+    """Weak-scaling shape check (VERDICT r3 #3b): fixed per-device batch,
+    data axis 1/2/4/8.  On the shared-core CPU mesh total compute grows
+    linearly with global batch, so per-STEP time may grow ~N at worst; it
+    must never grow superlinearly (which would indicate sharding-induced
+    overhead — resharding, gathers — scaling with the mesh)."""
+    import time
+
+    sched = make_linear_schedule(20, 1e-4, 0.02)
+    u = UNet(1, tiny_model_config)
+    tx = optax.adam(1e-3)
+    params = u.init(jax.random.PRNGKey(0))
+    step = make_ddpm_train_step(lambda p, x, t: u(p, x, t), sched, tx)
+    per_device = 2
+    times = {}
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(jax.devices()[:n])
+        state = replicate(create_train_state(jax.tree.map(jnp.copy, params), tx), mesh)
+        images = shard_batch(
+            jax.random.uniform(jax.random.PRNGKey(1), (per_device * n, 8, 8, 1),
+                               minval=-1, maxval=1), mesh)
+        state, loss = step(state, images, jax.random.PRNGKey(2))  # compile
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for i in range(10):
+            state, loss = step(state, images, jax.random.PRNGKey(i))
+        jax.block_until_ready(loss)
+        times[n] = (time.perf_counter() - t0) / 10
+    # superlinear growth vs the 1-device step would mean per-step overhead
+    # grows with mesh size; allow 2x slack for shared-core timing noise.
+    for n in (2, 4, 8):
+        assert times[n] < times[1] * n * 2.0, times
+
+
+def test_multiprocess_shard_host_local_batch():
+    """VERDICT r3 #3c: the ``process_count > 1`` branch of
+    shard_host_local_batch, exercised for real — two OS processes, each
+    owning 2 virtual CPU devices, assemble one global sharded batch via
+    jax.distributed and reduce it SPMD."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH", "JAX_NUM_CPU_DEVICES")}
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(i), "2", str(port)],
+                         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER_OK {i}" in out, out
+
+
 def test_shard_host_local_batch_single_host(tiny_model_config):
     """Single-host path reduces to shard_batch."""
     from controlnet_tpu.parallel.mesh import shard_host_local_batch
