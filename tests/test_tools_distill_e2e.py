@@ -133,10 +133,13 @@ def test_compare_two_models(ws):
     assert glob.glob(os.path.join(out, "comparison_*.png"))
 
 
-def test_serve_distilled_model(ws):
-    """tools/serve.py: health + generate round-trip over HTTP."""
+def test_serve_distilled_model_concurrent_load(ws):
+    """tools/serve.py over real HTTP: health check, concurrent /generate
+    load (p50/p99 from X-Latency-Ms), and the batched npz endpoint."""
     import io
+    import json
     import threading
+    import urllib.error
     import urllib.request
 
     import numpy as np
@@ -154,14 +157,73 @@ def test_serve_distilled_model(ws):
 
     config = cfgmod.load_config(ws.config_path)
     args = types.SimpleNamespace(config_path=ws.config_path, model="consistency",
-                                 host="127.0.0.1", port=8899, seed=0)
-    gen, im_size, im_channels, hint_channels = serve_mod.build_generator(args, config)
+                                 host="127.0.0.1", port=0, seed=0, max_batch=4)
+    server = serve_mod.make_server(args, config)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        health = json.loads(urllib.request.urlopen(f"{base}/healthz", timeout=30).read())
+        assert health["status"] == "ok" and health["warm"] and health["max_batch"] == 4
 
-    import jax
-    import jax.numpy as jnp
+        # hint PNG payload
+        im_size = cfgmod.model_params(config)["im_size"]
+        png = io.BytesIO()
+        Image.fromarray(np.zeros((im_size, im_size), np.uint8)).save(png, format="PNG")
+        payload = png.getvalue()
 
-    # direct generator check (the server loop is a thin shell around this)
-    hint = jnp.zeros((1, im_size, im_size, hint_channels))
-    out = jax.block_until_ready(gen(hint, jax.random.PRNGKey(0), 1))
-    assert out.shape == (1, im_size, im_size, im_channels)
-    assert bool(jnp.all(jnp.isfinite(out)))
+        # 12 requests from 4 concurrent clients
+        latencies, errors = [], []
+
+        def client(n):
+            for _ in range(n):
+                try:
+                    req = urllib.request.Request(f"{base}/generate", data=payload,
+                                                 method="POST")
+                    with urllib.request.urlopen(req, timeout=120) as r:
+                        assert r.status == 200
+                        latencies.append(float(r.headers["X-Latency-Ms"]))
+                        out = Image.open(io.BytesIO(r.read()))
+                        assert out.size == (im_size, im_size)
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+
+        threads = [threading.Thread(target=client, args=(3,)) for _ in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        assert len(latencies) == 12
+        lat = sorted(latencies)
+        p50, p99 = lat[len(lat) // 2], lat[-1]
+        print(f"serve load: p50={p50:.1f}ms p99={p99:.1f}ms")
+
+        # batched endpoint: 3 hints -> padded to bucket 4, 3 samples back
+        hints = np.zeros((3, im_size, im_size,
+                          cfgmod.model_params(config)["hint_channels"]), np.float32)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, hints=hints)
+        req = urllib.request.Request(f"{base}/generate_batch", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            with np.load(io.BytesIO(r.read())) as z:
+                samples = z["samples"]
+        assert samples.shape[0] == 3
+        assert np.all(np.isfinite(samples))
+
+        # malformed batch body -> 400, server stays up
+        req = urllib.request.Request(f"{base}/generate_batch", data=b"junk",
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        health = json.loads(urllib.request.urlopen(f"{base}/healthz", timeout=30).read())
+        assert health["status"] == "ok"
+    finally:
+        server.shutdown()
+        server.server_close()

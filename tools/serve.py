@@ -1,17 +1,26 @@
-"""Minimal HTTP serving of a 1-step distilled sampler (new capability —
-the reference has no serving path; this framework targets production
-serving, so latency-critical inference is exposed as a service).
+"""HTTP serving of a 1-step distilled sampler (new capability — the
+reference has no serving path; this framework targets production serving,
+so latency-critical inference is exposed as a service).
 
   python -m tools.serve --config config/mnist.yaml --model consistency --port 8000
 
 Endpoints:
-  GET  /healthz            -> {"status": "ok", "model": ..., "warm": true}
-  POST /generate           -> body: hint PNG bytes (grayscale or RGB,
-                              resized to im_size); response: sample PNG.
-  POST /generate?steps=N   -> multi-step consistency sampling.
+  GET  /healthz             -> {"status": "ok", "model": ..., "warm": true}
+  POST /generate            -> body: hint PNG bytes (grayscale or RGB,
+                               resized to im_size); response: sample PNG,
+                               X-Latency-Ms header.
+  POST /generate?steps=N    -> multi-step consistency sampling.
+  POST /generate_batch      -> body: npz with array "hints"
+                               (B, im_size, im_size, hint_channels) float32;
+                               response: npz with "samples" (B, ..., C).
 
-The model is compiled once at startup (AOT warmup) so request latency is
-pure device execution + PNG codec.
+Serving model: a ThreadingHTTPServer so PNG/npz codec work overlaps across
+requests, with a single device lock around generation (one chip, one
+in-flight computation — queued requests wait).  Batch shapes are padded up
+to the next power-of-two bucket (<= --max-batch) so every request hits one
+of a small set of precompiled programs instead of triggering a recompile.
+The model is compiled once per bucket at startup (AOT warmup) so request
+latency is pure device execution + codec.
 """
 
 from __future__ import annotations
@@ -19,8 +28,9 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
 import jax.numpy as jnp
@@ -72,67 +82,118 @@ def build_generator(args, config):
     return gen, im_size, im_channels, model_config["hint_channels"]
 
 
-def main(args):
-    cli.setup_jax()
-    config = cfg.load_config(args.config_path)
+def _bucket(b: int, max_batch: int) -> int:
+    """Next power-of-two >= b, capped at max_batch (static-shape bucketing)."""
+    n = 1
+    while n < b and n < max_batch:
+        n *= 2
+    return n
+
+
+def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
+    """Build the (not yet running) HTTP server; tests drive it in-thread."""
     gen, im_size, im_channels, hint_channels = build_generator(args, config)
+    max_batch = getattr(args, "max_batch", 8)
 
-    # AOT warmup: compile before serving.
-    warm_hint = jnp.zeros((1, im_size, im_size, hint_channels))
-    jax.block_until_ready(gen(warm_hint, jax.random.PRNGKey(0), 1))
-    print(f"model compiled; serving {args.model} on port {args.port}")
+    if warm:
+        # AOT warmup: compile every batch bucket before serving.
+        b = 1
+        while True:
+            warm_hint = jnp.zeros((b, im_size, im_size, hint_channels))
+            jax.block_until_ready(gen(warm_hint, jax.random.PRNGKey(0), 1))
+            if b >= max_batch:
+                break
+            b *= 2
 
-    key_holder = {"key": jax.random.PRNGKey(args.seed)}
+    device_lock = threading.Lock()
+    key_state = {"key": jax.random.PRNGKey(args.seed)}
+
+    def run(hints: np.ndarray, steps: int) -> tuple[np.ndarray, float]:
+        """Pad to bucket, generate under the device lock, unpad.  Returns
+        (samples, device_latency_ms)."""
+        b = hints.shape[0]
+        nb = _bucket(b, max_batch)
+        if nb != b:
+            hints = np.concatenate(
+                [hints, np.zeros((nb - b,) + hints.shape[1:], hints.dtype)])
+        with device_lock:
+            key_state["key"], k = jax.random.split(key_state["key"])
+            t0 = time.time()
+            out = np.asarray(jax.block_until_ready(gen(jnp.asarray(hints), k, steps)))
+            latency_ms = (time.time() - t0) * 1000.0
+        return out[:b], latency_ms
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet
             pass
 
+        def _reply(self, code: int, body: bytes, ctype: str, extra: dict | None = None):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path.startswith("/healthz"):
-                body = json.dumps({"status": "ok", "model": args.model, "warm": True}).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                body = json.dumps({"status": "ok", "model": args.model,
+                                   "warm": True, "max_batch": max_batch}).encode()
+                self._reply(200, body, "application/json")
             else:
-                self.send_response(404)
-                self.end_headers()
+                self._reply(404, b"", "text/plain")
 
         def do_POST(self):
-            if not self.path.startswith("/generate"):
-                self.send_response(404)
-                self.end_headers()
-                return
             steps = 1
             if "steps=" in self.path:
                 steps = max(1, int(self.path.split("steps=")[1].split("&")[0]))
             length = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(length)
+
+            if self.path.startswith("/generate_batch"):
+                try:
+                    with np.load(io.BytesIO(raw)) as z:
+                        hints = np.asarray(z["hints"], np.float32)
+                except Exception as e:
+                    self._reply(400, f"bad npz body: {e}".encode(), "text/plain")
+                    return
+                if (hints.ndim != 4 or hints.shape[0] < 1
+                        or hints.shape[0] > max_batch
+                        or hints.shape[1:] != (im_size, im_size, hint_channels)):
+                    self._reply(400, f"bad hints shape {hints.shape}".encode(), "text/plain")
+                    return
+                samples, latency_ms = run(hints, steps)
+                buf = io.BytesIO()
+                np.savez_compressed(buf, samples=samples)
+                self._reply(200, buf.getvalue(), "application/octet-stream",
+                            {"X-Latency-Ms": f"{latency_ms:.2f}"})
+                return
+
+            if not self.path.startswith("/generate"):
+                self._reply(404, b"", "text/plain")
+                return
             img = Image.open(io.BytesIO(raw)).convert("L").resize((im_size, im_size))
             hint = np.asarray(img, np.float32) / 255.0
             hint = np.repeat(hint[None, :, :, None], hint_channels, axis=-1)
-
-            key_holder["key"], k = jax.random.split(key_holder["key"])
-            t0 = time.time()
-            sample = np.asarray(jax.block_until_ready(gen(jnp.asarray(hint), k, steps)))
-            latency_ms = (time.time() - t0) * 1000.0
+            sample, latency_ms = run(hint, steps)
 
             out = np.clip((sample[0] + 1.0) / 2.0, 0, 1)
             out8 = (out * 255).astype(np.uint8)
             im = Image.fromarray(out8[:, :, 0] if out8.shape[-1] == 1 else out8)
             buf = io.BytesIO()
             im.save(buf, format="PNG")
-            body = buf.getvalue()
-            self.send_response(200)
-            self.send_header("Content-Type", "image/png")
-            self.send_header("X-Latency-Ms", f"{latency_ms:.2f}")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._reply(200, buf.getvalue(), "image/png",
+                        {"X-Latency-Ms": f"{latency_ms:.2f}"})
 
-    server = HTTPServer((args.host, args.port), Handler)
+    return ThreadingHTTPServer((args.host, args.port), Handler)
+
+
+def main(args):
+    cli.setup_jax()
+    config = cfg.load_config(args.config_path)
+    server = make_server(args, config)
+    print(f"model compiled; serving {args.model} on port {args.port}")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -146,4 +207,5 @@ if __name__ == "__main__":
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max-batch", dest="max_batch", type=int, default=8)
     main(parser.parse_args())
