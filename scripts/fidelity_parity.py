@@ -221,6 +221,24 @@ def stage_ours():
     print("our samples written")
 
 
+
+def _ci_rows(rows: dict, prefix: str, ref, ours) -> None:
+    """Bootstrap 95% CIs (VERDICT r3 #5) for the cross-stack FFD and both
+    within-stack half-vs-half noise floors; parity evidence is CI overlap,
+    not just point-below-floor."""
+    from tools.eval_metrics import ffd_with_ci
+
+    h_r, h_o = len(ref) // 2, len(ours) // 2
+    cross = ffd_with_ci(ours, ref, 1)
+    fl_r = ffd_with_ci(ref[:h_r], ref[h_r:], 1)
+    fl_o = ffd_with_ci(ours[:h_o], ours[h_o:], 1)
+    rows[f"{prefix}ours_vs_ref_ci95"] = [cross["ffd_ci_lo"], cross["ffd_ci_hi"]]
+    rows[f"{prefix}noise_floor_ref_ci95"] = [fl_r["ffd_ci_lo"], fl_r["ffd_ci_hi"]]
+    rows[f"{prefix}noise_floor_ours_ci95"] = [fl_o["ffd_ci_lo"], fl_o["ffd_ci_hi"]]
+    rows[f"{prefix}ci_overlap_cross_vs_floors"] = bool(
+        cross["ffd_ci_lo"] <= max(fl_r["ffd_ci_hi"], fl_o["ffd_ci_hi"]))
+
+
 def stage_eval():
     os.environ.setdefault("XLA_FLAGS", "--xla_cpu_parallel_codegen_split_count=1")
     import numpy as np
@@ -242,6 +260,7 @@ def stage_eval():
     h = len(ref) // 2
     rows["ffd_noise_floor_ref_halves"] = evaluate(ref[:h], ref[h:], 1)["ffd"]
     rows["ffd_noise_floor_ours_halves"] = evaluate(ours[:h], ours[h:], 1)["ffd"]
+    _ci_rows(rows, "ffd_", ref, ours)
     n = min(len(ours), len(ref))
     rows["lpips_ours_vs_ref"] = evaluate(ours[:n], ref[:n], 1)["lpips_mean"]
     rows["n_samples"] = n
@@ -385,6 +404,7 @@ def stage_eval_cn():
     h = len(ref) // 2
     rows["ffd_cn_noise_floor_ref_halves"] = evaluate(ref[:h], ref[h:], 1)["ffd"]
     rows["ffd_cn_noise_floor_ours_halves"] = evaluate(ours[:h], ours[h:], 1)["ffd"]
+    _ci_rows(rows, "ffd_cn_", ref, ours)
 
     def hint_following(samples) -> float:
         """Mean pixel agreement between canny(sample) and the conditioning
@@ -553,6 +573,7 @@ def stage_eval_cd():
     h = len(ref) // 2
     rows["ffd_cd_noise_floor_ref_halves"] = evaluate(ref[:h], ref[h:], 1)["ffd"]
     rows["ffd_cd_noise_floor_ours_halves"] = evaluate(ours[:h], ours[h:], 1)["ffd"]
+    _ci_rows(rows, "ffd_cd_", ref, ours)
     # quality anchors: distance to the training distribution and to each
     # stack's own 1000-step teacher samples, plus hint-following — tells
     # "different but equally good" apart from "one stack degraded"
@@ -738,6 +759,7 @@ def stage_eval_dmd():
     h = len(ref) // 2
     rows["ffd_dmd_noise_floor_ref_halves"] = evaluate(ref[:h], ref[h:], 1)["ffd"]
     rows["ffd_dmd_noise_floor_ours_halves"] = evaluate(ours[:h], ours[h:], 1)["ffd"]
+    _ci_rows(rows, "ffd_dmd_", ref, ours)
     train_imgs = load_images(os.path.join(WS, "data", "train", "0"), 1)
     for cls in ("1", "2", "3"):
         train_imgs = np.concatenate(

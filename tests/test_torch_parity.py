@@ -361,3 +361,10 @@ def test_eval_metrics_cli(tmp_path):
                                im_channels=1, seed=0, out=str(out)))
     m = _json.loads(out.read_text())
     assert set(m) >= {"ffd", "lpips_mean"}
+
+    # bootstrap CI brackets the point estimate and is deterministic per seed
+    b = load_images(str(tmp_path / "b"), 1)
+    ci = em.ffd_with_ci(a, b, 1, seed=0, n_boot=20)
+    assert ci["ffd_ci_lo"] <= ci["ffd_ci_hi"]
+    ci2 = em.ffd_with_ci(a, b, 1, seed=0, n_boot=20)
+    assert ci == ci2

@@ -62,16 +62,46 @@ def frechet_distance(mu1, cov1, mu2, cov2) -> float:
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * np.trace(covmean))
 
 
-def feature_stats(fe: FeatureExtractor, params, images: np.ndarray, batch: int = 64):
-    """Global-average-pooled top-stage features -> (mu, cov)."""
+def extract_features(fe: FeatureExtractor, params, images: np.ndarray,
+                     batch: int = 64) -> np.ndarray:
+    """Global-average-pooled top-stage features, one row per image."""
     feats_fn = jax.jit(lambda p, x: fe(p, x)[-1].mean(axis=(1, 2)))
     chunks = []
     for i in range(0, len(images), batch):
         chunks.append(np.asarray(feats_fn(params, jnp.asarray(images[i : i + batch]))))
-    feats = np.concatenate(chunks)
-    mu = feats.mean(axis=0)
-    cov = np.cov(feats, rowvar=False)
-    return mu, cov
+    return np.concatenate(chunks)
+
+
+def _stats(feats: np.ndarray):
+    return feats.mean(axis=0), np.cov(feats, rowvar=False)
+
+
+def feature_stats(fe: FeatureExtractor, params, images: np.ndarray, batch: int = 64):
+    """Global-average-pooled top-stage features -> (mu, cov)."""
+    return _stats(extract_features(fe, params, images, batch))
+
+
+def ffd_with_ci(images_a: np.ndarray, images_b: np.ndarray, im_channels: int,
+                seed: int = 0, n_boot: int = 100):
+    """FFD point estimate + percentile-bootstrap 95% CI (VERDICT r3 #5).
+
+    Features are extracted once; each bootstrap draw resamples image rows
+    with replacement on BOTH sides and recomputes the Fréchet distance
+    from the resampled (mu, cov)."""
+    fe = FeatureExtractor(in_channels=im_channels)
+    fe_params = fe.init(jax.random.PRNGKey(seed))
+    fa = extract_features(fe, fe_params, images_a)
+    fb = extract_features(fe, fe_params, images_b)
+    point = frechet_distance(*_stats(fa), *_stats(fb))
+    rng = np.random.default_rng(seed)
+    vals = []
+    for _ in range(n_boot):
+        ia = rng.integers(0, len(fa), len(fa))
+        ib = rng.integers(0, len(fb), len(fb))
+        vals.append(frechet_distance(*_stats(fa[ia]), *_stats(fb[ib])))
+    lo, hi = np.percentile(vals, [2.5, 97.5])
+    return {"ffd": float(point), "ffd_ci_lo": float(lo), "ffd_ci_hi": float(hi),
+            "n_boot": n_boot}
 
 
 def evaluate(images_a: np.ndarray, images_b: np.ndarray, im_channels: int, seed: int = 0):
