@@ -108,10 +108,26 @@ def bench_north_star() -> dict | None:
         x0, _ = sampler(params, jax.random.PRNGKey(2), feats)
         jax.block_until_ready(x0)
         dt = time.time() - t0
-        return {
+        out = {
             "ldm_controlnet_samples_per_sec_chip": round(nb / dt, 4),
             "ldm_controlnet_ms_per_step": round(1000.0 * dt / STEPS, 3),
         }
+        # throughput mode (batch 8) — the per-chip deployment config
+        nb8 = 8
+        hint8 = jnp.zeros((nb8, 1024, 1024, 3))
+        feats8 = jax.jit(cn.hint_features)(params, hint8)
+        sampler8 = make_ddpm_sampler(
+            lambda p, x, t, f: cn(p, x, t, hint_features=f),
+            sched, (nb8, 32, 32, 4), record_every=STEPS,
+            compute_dtype=jnp.bfloat16,
+        )
+        jax.block_until_ready(sampler8(params, jax.random.PRNGKey(1), feats8)[0])
+        t0 = time.time()
+        x0, _ = sampler8(params, jax.random.PRNGKey(2), feats8)
+        jax.block_until_ready(x0)
+        dt8 = time.time() - t0
+        out["ldm_controlnet_b8_samples_per_sec_chip"] = round(nb8 / dt8, 4)
+        return out
     except Exception as e:  # pragma: no cover
         print(f"# north-star bench unavailable: {e}", file=sys.stderr)
         return None
