@@ -34,6 +34,10 @@ EPOCHS = int(os.environ.get("FIDELITY_EPOCHS", "12"))
 SAMPLE_BATCH = 64
 IM_SIZE = int(os.environ.get("FIDELITY_IM_SIZE", "16"))
 PER_CLASS = int(os.environ.get("FIDELITY_PER_CLASS", "256"))
+# bf16 fidelity A/B (VERDICT r3 #2): set FIDELITY_COMPUTE_DTYPE=bfloat16 with
+# a fresh FIDELITY_WS to train THIS stack's side in mixed precision; the
+# reference side is unaffected (torch trainer ignores the additive key).
+COMPUTE_DTYPE = os.environ.get("FIDELITY_COMPUTE_DTYPE")
 
 CONFIG = {
     "dataset_params": {
@@ -69,6 +73,8 @@ def _write_config(task_dir: str) -> str:
 
     cfg = copy.deepcopy(CONFIG)
     cfg["train_params"]["task_name"] = task_dir
+    if COMPUTE_DTYPE:
+        cfg["train_params"]["compute_dtype"] = COMPUTE_DTYPE
     path = os.path.join(WS, os.path.basename(task_dir) + ".yaml")
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
