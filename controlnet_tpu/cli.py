@@ -109,6 +109,23 @@ def put_batch(batch, mesh):
     return shard_host_local_batch(batch, mesh)
 
 
+def sampler_mesh(num_samples: int):
+    """(mesh, padded_batch) for data-parallel sampling (sample/ddpm.py
+    ``mesh=`` option).  The requested sample count is padded UP to data-axis
+    divisibility — sampling cost is per-sample, so padding beats trimming
+    here (callers slice outputs back to ``num_samples``).  Single-device:
+    (None, num_samples), zero behavior change."""
+    mesh = mesh_or_none()
+    if mesh is None:
+        return None, num_samples
+    n_data = mesh.shape["data"]
+    padded = ((num_samples + n_data - 1) // n_data) * n_data
+    if padded != num_samples:
+        _warn_once(f"pad:{num_samples}", f"padding sample batch {num_samples} -> "
+                   f"{padded} for {n_data}-way data-parallel sampling")
+    return mesh, padded
+
+
 def compute_dtype_from(train_config: dict):
     """Additive YAML key ``train_params.compute_dtype`` ("bfloat16" |
     "float32"): mixed-precision training compute dtype.  None (absent or

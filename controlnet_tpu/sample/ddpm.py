@@ -29,6 +29,7 @@ def make_ddpm_sampler(
     record_every: int = 1,
     compute_dtype=None,
     unroll: int = 1,
+    mesh=None,
 ):
     """Build a jitted sampler.
 
@@ -50,13 +51,37 @@ def make_ddpm_sampler(
     ``fori_loop`` of ``record_every`` denoising steps, never a (T, *shape)
     stack.  With ``record_every == T`` (benchmark/serving mode) that is a
     single frame.
+
+    ``mesh``: a ``jax.sharding.Mesh`` for multi-chip data-parallel
+    sampling — the batch axis is sharded over the mesh's ``data`` axis
+    (pass params replicated, e.g. via ``parallel.mesh.replicate``).
+    Sampling is embarrassingly parallel per sample, so XLA partitions the
+    whole scan with zero collectives and throughput scales with chips.
+    PRNG values are sharding-invariant (counter-based threefry), so the
+    sharded sampler produces bit-identical samples to the single-device
+    one.  The reference has no distributed sampling at all (its loop is a
+    per-step host round-trip, sample_ddpm.py:27-42).
     """
     T = sched.num_timesteps
     assert T % record_every == 0
+    if mesh is not None:
+        n_data = mesh.shape.get("data", 1)
+        assert shape[0] % n_data == 0, (
+            f"batch {shape[0]} not divisible by mesh data axis {n_data}; "
+            f"pad the request (cli.put_batch pads training batches the same way)")
+        from jax.sharding import NamedSharding, PartitionSpec
+        _batch_sh = NamedSharding(mesh, PartitionSpec("data"))
 
     def sampler(params, key, hint=None):
         k0, key = jax.random.split(key)
         xt = jax.random.normal(k0, shape, jnp.float32)
+        if mesh is not None:
+            xt = jax.lax.with_sharding_constraint(xt, _batch_sh)
+            if hint is not None:
+                # hint may be a pytree (e.g. hoisted ControlNet hint feature
+                # maps); every leaf is batch-leading
+                hint = jax.tree.map(
+                    lambda h: jax.lax.with_sharding_constraint(h, _batch_sh), hint)
         b = shape[0]
         hint_c = hint if (hint is None or compute_dtype is None) else hint.astype(compute_dtype)
 
@@ -95,6 +120,7 @@ def make_ldm_sampler(
     sched: LinearSchedule,
     latent_shape: tuple[int, ...],
     record_every: int = 1,
+    mesh=None,
 ):
     """Latent-space sampler: scan in latent space, VAE-decode only the final
     x_0 on device (the reference decodes only at t==0 as well,
@@ -102,9 +128,11 @@ def make_ldm_sampler(
 
     ``decode_fn(vae_params, z)``.  Returns
     ``sampler(unet_params, vae_params, key[, hint]) ->
-       (decoded images, latent trajectory)``.
+       (decoded images, latent trajectory)``.  ``mesh`` shards the batch
+    over the data axis (denoise AND decode stay batch-parallel).
     """
-    latent_sampler = make_ddpm_sampler(eps_fn, sched, latent_shape, record_every)
+    latent_sampler = make_ddpm_sampler(eps_fn, sched, latent_shape, record_every,
+                                       mesh=mesh)
 
     def sampler(unet_params, vae_params, key, hint=None):
         z0, traj = latent_sampler(unet_params, key, hint)

@@ -73,6 +73,48 @@ def test_batch_sharded_sampling(tiny_model_config):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_sampler_matches_single_device(tiny_model_config):
+    """The ``mesh=`` data-parallel sampler (sample/ddpm.py) must produce
+    bit-identical samples to the single-device sampler (counter-based PRNG
+    is sharding-invariant) AND actually shard the batch over the mesh."""
+    from controlnet_tpu.sample.ddpm import make_ddpm_sampler
+
+    sched = make_linear_schedule(10, 1e-4, 0.02)
+    u = UNet(1, tiny_model_config)
+    p = u.init(jax.random.PRNGKey(0))
+    shape = (8, 8, 8, 1)
+    fn = lambda p, x, t: u(p, x, t)
+
+    x0_single, _ = make_ddpm_sampler(fn, sched, shape, record_every=10)(
+        p, jax.random.PRNGKey(1))
+
+    mesh = make_mesh()
+    sampler = make_ddpm_sampler(fn, sched, shape, record_every=10, mesh=mesh)
+    x0_mesh, _ = sampler(replicate(p, mesh), jax.random.PRNGKey(1))
+
+    assert not x0_mesh.sharding.is_fully_replicated, x0_mesh.sharding
+    assert len(x0_mesh.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(x0_single), np.asarray(x0_mesh),
+                               atol=1e-6)
+
+    # non-divisible batch is a loud factory-time error, not a silent cliff
+    with pytest.raises(AssertionError, match="divisible"):
+        make_ddpm_sampler(fn, sched, (6, 8, 8, 1), record_every=10, mesh=mesh)
+
+
+def test_sampler_mesh_pads_to_divisibility():
+    """cli.sampler_mesh pads the request up to data-axis divisibility."""
+    from controlnet_tpu import cli
+
+    mesh, batch = cli.sampler_mesh(25)
+    if len(jax.devices()) < 2:
+        assert mesh is None and batch == 25
+    else:
+        n = mesh.shape["data"]
+        assert batch % n == 0 and batch >= 25 and batch - 25 < n
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_data_parallel_scaling_shape(tiny_model_config):
     """Weak-scaling shape check (VERDICT r3 #3b): fixed per-device batch,
     data axis 1/2/4/8.  On the shared-core CPU mesh total compute grows

@@ -61,15 +61,20 @@ def sample(args):
     num_samples = args.num_samples or train_config["num_samples"]
     nrow = train_config["num_grid_rows"]
     im_size = model_config["im_size"]
-    shape = (num_samples, im_size, im_size, model_config["im_channels"])
+    # multi-chip: shard the sample batch over the data axis (padded up to
+    # divisibility; outputs sliced back)
+    mesh, batch = cli.sampler_mesh(num_samples)
+    shape = (batch, im_size, im_size, model_config["im_channels"])
 
     T = sched.num_timesteps
     record_every = max(1, args.save_every)
     sampler = make_ddpm_sampler(
-        lambda p, x, t: unet(p, x, t), sched, shape, record_every=record_every
+        lambda p, x, t: unet(p, x, t), sched, shape, record_every=record_every,
+        mesh=mesh,
     )
+    params = cli.put_replicated(params, mesh)
     x0, traj = sampler(params, jax.random.PRNGKey(args.seed))
-    traj = np.asarray(jax.device_get(traj))
+    traj = np.asarray(jax.device_get(traj))[:, :num_samples]
 
     out_dir = os.path.join(task_name, "samples")
     os.makedirs(out_dir, exist_ok=True)

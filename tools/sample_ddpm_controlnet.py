@@ -50,7 +50,8 @@ def sample(args):
     num_samples = args.num_samples or train_config["num_samples"]
     nrow = train_config["num_grid_rows"]
     im_size = model_config["im_size"]
-    shape = (num_samples, im_size, im_size, model_config["im_channels"])
+    mesh, batch = cli.sampler_mesh(num_samples)
+    shape = (batch, im_size, im_size, model_config["im_channels"])
 
     test_ds = cli.build_dataset(task_name, dataset_config, "test", return_hints=True)
     hints = gather_test_hints(test_ds, num_samples, args.seed)
@@ -60,14 +61,20 @@ def sample(args):
     save_image_grid(hints, os.path.join(out_dir, "hints.png"), nrow=nrow)
 
     record_every = max(1, args.save_every)
+    if batch != num_samples:  # pad hints for data-parallel divisibility
+        hints_in = np.concatenate(
+            [hints, np.repeat(hints[-1:], batch - num_samples, axis=0)])
+    else:
+        hints_in = hints
+    params = cli.put_replicated(params, mesh)
     # Hint features are loop-invariant: encode once, reuse for all T steps.
-    hint_feats = jax.jit(cn.hint_features)(params, jax.numpy.asarray(hints))
+    hint_feats = jax.jit(cn.hint_features)(params, jax.numpy.asarray(hints_in))
     sampler = make_ddpm_sampler(
         lambda p, x, t, f: cn(p, x, t, hint_features=f), sched, shape,
-        record_every=record_every,
+        record_every=record_every, mesh=mesh,
     )
     x0, traj = sampler(params, jax.random.PRNGKey(args.seed), hint_feats)
-    traj = np.asarray(jax.device_get(traj))
+    traj = np.asarray(jax.device_get(traj))[:, :num_samples]
     T = sched.num_timesteps
     for k in range(traj.shape[0]):
         t = T - 1 - (k * record_every + record_every - 1)

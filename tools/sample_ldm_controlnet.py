@@ -65,18 +65,26 @@ def sample(args):
     os.makedirs(out_dir, exist_ok=True)
     save_image_grid(hints, os.path.join(out_dir, "hints.png"), nrow=nrow)
 
-    shape = (num_samples, lsize, lsize, z)
+    mesh, batch = cli.sampler_mesh(num_samples)
+    shape = (batch, lsize, lsize, z)
     record_every = max(1, args.save_every)
+    if batch != num_samples:  # pad hints for data-parallel divisibility
+        hints_in = np.concatenate(
+            [hints, np.repeat(hints[-1:], batch - num_samples, axis=0)])
+    else:
+        hints_in = hints
+    params = cli.put_replicated(params, mesh)
+    vae_params = cli.put_replicated(vae_params, mesh)
     # Encode the full-res hint ONCE (loop-invariant across the 1000 steps —
     # this is the 1024^2 strided conv stack, controlnet_ldm.py:45-79).
-    hint_feats = jax.jit(cn.hint_features)(params, jax.numpy.asarray(hints))
+    hint_feats = jax.jit(cn.hint_features)(params, jax.numpy.asarray(hints_in))
     sampler = make_ldm_sampler(
         lambda p, x, t, f: cn(p, x, t, hint_features=f), lambda p, zz: vae.decode(p, zz),
-        sched, shape, record_every=record_every,
+        sched, shape, record_every=record_every, mesh=mesh,
     )
     images, traj = sampler(params, vae_params, jax.random.PRNGKey(args.seed), hint_feats)
-    images = np.asarray(jax.device_get(images))
-    traj = np.asarray(jax.device_get(traj))
+    images = np.asarray(jax.device_get(images))[:num_samples]
+    traj = np.asarray(jax.device_get(traj))[:, :num_samples]
 
     T = sched.num_timesteps
     for k in range(traj.shape[0]):

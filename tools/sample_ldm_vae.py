@@ -63,16 +63,19 @@ def sample(args):
     num_samples = args.num_samples or train_config["num_samples"]
     nrow = train_config["num_grid_rows"]
     lsize = latent_size(dataset_config, autoencoder_config)
-    shape = (num_samples, lsize, lsize, z)
+    mesh, batch = cli.sampler_mesh(num_samples)
+    shape = (batch, lsize, lsize, z)
 
     record_every = max(1, args.save_every)
+    unet_params = cli.put_replicated(unet_params, mesh)
+    vae_params = cli.put_replicated(vae_params, mesh)
     sampler = make_ldm_sampler(
         lambda p, x, t: unet(p, x, t), lambda p, zz: vae.decode(p, zz),
-        sched, shape, record_every=record_every,
+        sched, shape, record_every=record_every, mesh=mesh,
     )
     images, traj = sampler(unet_params, vae_params, jax.random.PRNGKey(args.seed))
-    images = np.asarray(jax.device_get(images))
-    traj = np.asarray(jax.device_get(traj))
+    images = np.asarray(jax.device_get(images))[:num_samples]
+    traj = np.asarray(jax.device_get(traj))[:, :num_samples]
 
     out_dir = os.path.join(task_name, "samples")
     os.makedirs(out_dir, exist_ok=True)
