@@ -46,19 +46,22 @@ def build_generator(args, config):
     task_name = train_config["task_name"]
     im_channels = model_config["im_channels"]
     im_size = model_config["im_size"]
+    # Multi-chip serving: replicate params, shard request batches over the
+    # data axis (only buckets divisible by the axis — small buckets stay
+    # single-device; the shape-bucketed compile cache handles both).
+    mesh = cli.mesh_or_none()
 
     if args.model == "consistency":
         from controlnet_tpu.models.consistency import ConsistencyDistilled
         from tools.sample_consistency_controlnet_distilled import load_student
 
         model = ConsistencyDistilled(im_channels, model_config, use_ddpm_teacher=False)
-        params = load_student(task_name, model)
+        params = cli.put_replicated(load_student(task_name, model), mesh)
 
         def generate(hint, key, steps=1):
             return model.generate({"student": params}, hint,
                                   (hint.shape[0], im_size, im_size, im_channels), key, steps)
 
-        gen = jax.jit(generate, static_argnames="steps")
     elif args.model == "dmd":
         from controlnet_tpu.models.dmd import DistributionMatchingControlNet
         from tools.sample_distribution_matching_controlnet_distilled import load_student
@@ -66,7 +69,7 @@ def build_generator(args, config):
         diffusion_config = cfg.diffusion_params(config)
         T = diffusion_config["num_timesteps"]
         student = DistributionMatchingControlNet(im_channels, model_config)
-        params = load_student(task_name, student, use_best=True)
+        params = cli.put_replicated(load_student(task_name, student, use_best=True), mesh)
 
         def generate(hint, key, steps=1):
             del steps
@@ -75,10 +78,22 @@ def build_generator(args, config):
             t = jnp.full((b,), T - 1, jnp.int32)
             return student(params, x_t, t, hint)
 
-        gen = jax.jit(generate, static_argnames="steps")
     else:
         raise ValueError(f"unknown model {args.model}")
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_data = mesh.shape["data"]
+        batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+        inner = generate
+
+        def generate(hint, key, steps=1):
+            if hint.shape[0] % n_data == 0:  # static shape under jit
+                hint = jax.lax.with_sharding_constraint(hint, batch_sh)
+            return inner(hint, key, steps)
+
+    gen = jax.jit(generate, static_argnames="steps")
     return gen, im_size, im_channels, model_config["hint_channels"]
 
 
