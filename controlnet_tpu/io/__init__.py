@@ -1,5 +1,6 @@
 from controlnet_tpu.io.images import save_image_grid, to_grid
-from controlnet_tpu.io.checkpoint import save_checkpoint, restore_checkpoint, latest_checkpoint
+from controlnet_tpu.io.checkpoint import (save_checkpoint, restore_checkpoint,
+                                          latest_checkpoint, wait_for_checkpoints)
 
 __all__ = [
     "save_image_grid",
@@ -7,4 +8,5 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "latest_checkpoint",
+    "wait_for_checkpoints",
 ]

@@ -103,6 +103,24 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_async_save(tmp_path):
+    """block=False returns before the write commits; restore waits for the
+    in-flight save (and overlapping async saves serialize inside orbax)."""
+    from controlnet_tpu.io.checkpoint import wait_for_checkpoints
+
+    tree = {"w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4)}
+    ckpt_dir = str(tmp_path / "task")
+    save_checkpoint(ckpt_dir, "model.pth", 1, tree, block=False)
+    save_checkpoint(ckpt_dir, "model.pth", 2,
+                    {"w": tree["w"] * 2}, block=False)
+    restored, step = restore_checkpoint(ckpt_dir, "model.pth", tree)
+    assert step == 2
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.asarray(tree["w"]) * 2)
+    wait_for_checkpoints()  # idempotent once drained
+    assert latest_checkpoint(ckpt_dir, "model.pth") == 2
+
+
 def test_cifar_dataset_rgb_hints(tmp_path):
     """RGB tree + RGB->gray canny hints (cifar_dataset.py:141-158)."""
     from controlnet_tpu.data.datasets import CifarDataset

@@ -22,7 +22,8 @@ import optax
 
 from controlnet_tpu import cli, config as cfg
 from controlnet_tpu.data.datasets import iterate_batches
-from controlnet_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from controlnet_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,
+                                           wait_for_checkpoints)
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.dmd import DistributionMatchingDistilled
 from controlnet_tpu.schedules.linear import add_noise
@@ -189,14 +190,15 @@ def train(args):
 
         # ---- checkpoints incl. best-model tracking (:260-274) ----
         save_checkpoint(task_name, CKPT_NAME, epoch_idx + 1,
-                        jax.device_get({"state": state}))
+                        jax.device_get({"state": state}), block=False)
         if val_mean < best_val:
             best_val = val_mean
             save_checkpoint(task_name, BEST_CKPT_NAME, epoch_idx + 1,
-                            jax.device_get({"state": state}))
+                            jax.device_get({"state": state}), block=False)
             print(f"New best model (val {best_val:.4f})")
 
     plot_training_curves(history, os.path.join(task_name, "dmd_training_curves.png"))
+    wait_for_checkpoints()
     print("DMD distillation training completed!")
 
 

@@ -28,7 +28,8 @@ import optax
 
 from controlnet_tpu import cli, config as cfg
 from controlnet_tpu.data.datasets import iterate_batches
-from controlnet_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from controlnet_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,
+                                           wait_for_checkpoints)
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.discriminator import Discriminator
 from controlnet_tpu.models.lpips import LPIPS, default_weights_path, load_torch_weights
@@ -151,8 +152,10 @@ def train(args):
             print("Finished epoch: {} | Recon Loss : {:.4f} | Perceptual Loss : {:.4f}".format(
                 epoch_idx + 1, means["recon_loss"], means["perceptual_loss"]))
         save_checkpoint(task_name, vae_ckpt, epoch_idx + 1,
-                        jax.device_get({"g": g_state, "d": d_state}))
-        save_checkpoint(task_name, disc_ckpt, epoch_idx + 1, jax.device_get(d_state))
+                        jax.device_get({"g": g_state, "d": d_state}), block=False)
+        save_checkpoint(task_name, disc_ckpt, epoch_idx + 1, jax.device_get(d_state),
+                        block=False)
+    wait_for_checkpoints()
     print("Done Training...")
 
 
