@@ -201,8 +201,17 @@ def export_distilled_student(p: Params, student, prefix: str = "") -> dict:
 
 
 def save_torch_checkpoint(sd: dict, path: str) -> None:
-    """numpy state_dict -> torch .pth (torch import deferred so TPU-only
-    hosts never need it on the hot path)."""
+    """numpy state_dict (possibly nested in a reference dict-checkpoint
+    wrapper, e.g. {'epoch', 'model_state_dict', ...}) -> torch .pth
+    (torch import deferred so TPU-only hosts never need it on the hot
+    path)."""
     import torch
 
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+    def convert(v):
+        if isinstance(v, dict):
+            return {k: convert(x) for k, x in v.items()}
+        if isinstance(v, np.ndarray):
+            return torch.from_numpy(np.ascontiguousarray(v))
+        return v
+
+    torch.save(convert(sd), path)

@@ -231,3 +231,117 @@ def test_export_import_roundtrip():
     ):
         assert ka == kb
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
+
+
+def _load_repo_tool(name: str):
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        f"repo_tools_{name}", os.path.join(repo, "tools", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _tiny_cfg(tmp_path, task):
+    import yaml
+
+    cfg = {
+        "dataset_params": {"task_name": "mnist", "im_path": str(tmp_path),
+                           "im_test_path": str(tmp_path)},
+        "diffusion_params": {"num_timesteps": 10, "beta_start": 1e-4,
+                             "beta_end": 0.02},
+        "model_params": dict(TINY),
+        "train_params": {"task_name": str(task), "batch_size": 2,
+                         "ddpm_ckpt_name": "ddpm_ckpt.pth",
+                         "controlnet_ckpt_name": "ddpm_controlnet_ckpt.pth",
+                         "num_epochs": 1, "num_samples": 1,
+                         "num_grid_rows": 1, "ddpm_lr": 1e-4},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return str(cfg_path)
+
+
+def test_export_cli_controlnet(ref_modules, tmp_path):
+    """tools/export_torch_checkpoint.py: a trainer-format orbax checkpoint
+    ({"state", "frozen"}) becomes a .pth the reference ControlNet loads
+    strict=True and computes the same function with."""
+    import types
+
+    import optax
+
+    _, ref_controlnet, _ = ref_modules
+    from controlnet_tpu.io.checkpoint import save_checkpoint
+    from controlnet_tpu.models.controlnet import ControlNet
+    from controlnet_tpu.train.state import create_train_state
+
+    ours = ControlNet(TINY["im_channels"], TINY)
+    params = ours.init(jax.random.PRNGKey(6))
+    _randomize_zero_convs(params, jax.random.PRNGKey(66))
+    trainable, frozen = ours.split_params(params)
+    task = tmp_path / "task"
+    save_checkpoint(str(task), "ddpm_controlnet_ckpt.pth", 1,
+                    {"state": create_train_state(trainable, optax.adam(1e-4)),
+                     "frozen": frozen})
+
+    main = _load_repo_tool("export_torch_checkpoint").main
+    main(types.SimpleNamespace(config_path=_tiny_cfg(tmp_path, task),
+                               type="controlnet", ckpt=None, step=None, out=None))
+
+    sd = torch.load(task / "ddpm_controlnet_ckpt.pth", weights_only=True)
+    tm = ref_controlnet.ControlNet(TINY).eval()
+    tm.load_state_dict(sd, strict=True)
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(2, 1, 8, 8)).astype(np.float32)
+    hint = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    t = np.array([1, 8])
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), torch.from_numpy(t),
+                     torch.from_numpy(hint)).numpy()
+    merged = ours.merge_params(trainable, frozen)
+    our_out = _nchw(jax.jit(lambda p, x, t, h: ours(p, x, t, h))(
+        merged, _nhwc(x), jnp.asarray(t), _nhwc(hint)))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4)
+
+
+def test_export_cli_consistency_wrapper(tmp_path):
+    """Consistency export wraps the reference trainer's dict-checkpoint
+    format ({'epoch', 'model_state_dict', 'ema_teacher_state_dict',
+    'model_config'} — reference train_consistency...py:153-159) so the
+    reference sampler's checkpoint['model_state_dict'] load works."""
+    import types
+
+    import optax
+
+    from controlnet_tpu.io.checkpoint import save_checkpoint
+    from controlnet_tpu.models.consistency import ConsistencyDistilled
+    from controlnet_tpu.train.state import create_train_state
+
+    model = ConsistencyDistilled(TINY["im_channels"], TINY, use_ddpm_teacher=False)
+    p = model.init(jax.random.PRNGKey(7))
+    task = tmp_path / "task"
+    save_checkpoint(str(task), "consistency_controlnet_distilled.pth", 3,
+                    {"state": create_train_state(p["student"], optax.adam(1e-4)),
+                     "ema": p["ema_teacher"]})
+
+    main = _load_repo_tool("export_torch_checkpoint").main
+    main(types.SimpleNamespace(config_path=_tiny_cfg(tmp_path, task),
+                               type="consistency", ckpt=None, step=None, out=None))
+
+    ckpt = torch.load(task / "consistency_controlnet_distilled.pth",
+                      weights_only=False)
+    assert ckpt["epoch"] == 3
+    assert set(ckpt) >= {"model_state_dict", "ema_teacher_state_dict",
+                         "model_config"}
+    sys.path.insert(0, REFERENCE)
+    try:
+        import models.consistency_controlnet_distilled as ref_cons
+    finally:
+        sys.path.remove(REFERENCE)
+    tm = ref_cons.ConsistencyControlNet(TINY).eval()
+    tm.load_state_dict(ckpt["model_state_dict"], strict=True)
+    tm.load_state_dict(ckpt["ema_teacher_state_dict"], strict=True)
