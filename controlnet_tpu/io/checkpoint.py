@@ -23,28 +23,37 @@ from typing import Any
 import jax
 import orbax.checkpoint as ocp
 
-# One persistent async checkpointer for the process.  StandardCheckpointer
-# is an AsyncCheckpointer: ``save`` returns once the device→host snapshot is
-# taken and streams to disk on a background thread.  The previous
-# per-call ``with StandardCheckpointer() as c`` pattern joined that thread on
-# context exit, so every save blocked the training loop for the full disk
-# write (measured 73s/save for the 190M-param LDM ControlNet train state on
-# this host — docs/artifacts/tpu_soak.json).
-_CKPTR: ocp.StandardCheckpointer | None = None
+# Persistent async checkpointers, one per checkpoint root.  A
+# StandardCheckpointer is an AsyncCheckpointer: ``save`` returns once the
+# host snapshot is taken and streams to disk on a background thread.  The
+# previous per-call ``with StandardCheckpointer() as c`` pattern joined that
+# thread on context exit, so every save blocked the training loop for the
+# full disk write (measured 73s/save for the 190M-param LDM ControlNet
+# train state on this host — docs/artifacts/tpu_soak.json).  Keyed per root
+# because orbax serializes saves *within* one checkpointer (`save` first
+# waits for that instance's previous write): trainers that save two names
+# back-to-back (train_vae's vae+disc, DMD's latest+best) would otherwise
+# stall on the first write anyway.
+_CKPTRS: dict[str, ocp.StandardCheckpointer] = {}
 
 
-def _checkpointer() -> ocp.StandardCheckpointer:
-    global _CKPTR
-    if _CKPTR is None:
-        _CKPTR = ocp.StandardCheckpointer()
-        atexit.register(_CKPTR.close)  # join in-flight writes at exit
-    return _CKPTR
+def _close_all() -> None:  # join in-flight writes at process exit
+    for c in _CKPTRS.values():
+        c.close()
+
+
+def _checkpointer(root: str) -> ocp.StandardCheckpointer:
+    if root not in _CKPTRS:
+        if not _CKPTRS:
+            atexit.register(_close_all)
+        _CKPTRS[root] = ocp.StandardCheckpointer()
+    return _CKPTRS[root]
 
 
 def wait_for_checkpoints() -> None:
     """Block until every in-flight async save has committed to disk."""
-    if _CKPTR is not None:
-        _CKPTR.wait_until_finished()
+    for c in _CKPTRS.values():
+        c.wait_until_finished()
 
 
 def _ckpt_root(ckpt_dir: str, name: str) -> str:
@@ -65,7 +74,7 @@ def save_checkpoint(ckpt_dir: str, name: str, step: int, tree: Any,
     root = _ckpt_root(ckpt_dir, name)
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, str(step))
-    ckptr = _checkpointer()
+    ckptr = _checkpointer(root)
     ckptr.save(path, tree, force=True)
     if block:
         ckptr.wait_until_finished()
@@ -90,9 +99,9 @@ def restore_checkpoint(ckpt_dir: str, name: str, target: Any, step: int | None =
         step = latest_checkpoint(ckpt_dir, name)
         if step is None:
             return None
-    path = os.path.join(_ckpt_root(ckpt_dir, name), str(step))
+    root = _ckpt_root(ckpt_dir, name)
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-    tree = _checkpointer().restore(path, abstract)
+    tree = _checkpointer(root).restore(os.path.join(root, str(step)), abstract)
     return tree, step
 
 
@@ -108,6 +117,6 @@ def restore_checkpoint_raw(ckpt_dir: str, name: str, step: int | None = None) ->
         step = latest_checkpoint(ckpt_dir, name)
         if step is None:
             return None
-    path = os.path.join(_ckpt_root(ckpt_dir, name), str(step))
-    tree = _checkpointer().restore(path)
+    root = _ckpt_root(ckpt_dir, name)
+    tree = _checkpointer(root).restore(os.path.join(root, str(step)))
     return tree, step

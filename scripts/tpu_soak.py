@@ -18,13 +18,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 import jax
 import jax.numpy as jnp
 import optax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.expanduser("~"), ".cache", "controlnet_tpu_xla"))
+from controlnet_tpu import cli
+
+cli.setup_jax()  # compile cache + the XLA-CPU codegen deadlock guard
 
 from controlnet_tpu.io.checkpoint import (latest_checkpoint, restore_checkpoint,
                                           save_checkpoint, wait_for_checkpoints)
@@ -76,18 +78,19 @@ jax.block_until_ready(loss)
 print(f"compiled; initial loss {float(loss):.5f}", flush=True)
 
 window = []          # (step, wall_s_per_step) per 100-step window
-losses = []          # mean loss per window
+losses = []          # mean training loss per window
 ckpt_stalls = []     # seconds each checkpoint save added
 deadline = time.time() + MINUTES * 60
 i = start_step
 key = jax.random.PRNGKey(1000 + start_step)
 while time.time() < deadline:
     t0 = time.time()
-    acc = 0.0
+    window_losses = []   # device scalars; one host sync per window
     for _ in range(100):
         key, kk = jax.random.split(key)
         state, loss = step_fn(state, frozen, lat, hints, kk)
-    acc = float(jax.block_until_ready(loss))
+        window_losses.append(loss)
+    acc = float(jax.block_until_ready(jnp.mean(jnp.stack(window_losses))))
     dt = (time.time() - t0) / 100
     i += 100
     window.append((i, dt))
@@ -108,6 +111,9 @@ while time.time() < deadline:
               flush=True)
 
 wait_for_checkpoints()
+if not window:
+    print("deadline shorter than one 100-step window; nothing to report")
+    sys.exit(0)
 steady = [dt for _, dt in window[1:]]  # drop first (residual compile/cache)
 out = {
     "resumed": RESUME, "start_step": start_step, "end_step": i,
@@ -123,7 +129,7 @@ out = {
     "windows": [(s, round(dt * 1e3, 2)) for s, dt in window],
     "losses": [round(l, 5) for l in losses],
 }
-path = os.path.join("docs", "artifacts",
+path = os.path.join(REPO, "docs", "artifacts",
                     "tpu_soak_resume.json" if RESUME else "tpu_soak.json")
 with open(path, "w") as f:
     json.dump(out, f, indent=2)

@@ -121,6 +121,24 @@ def test_checkpoint_async_save(tmp_path):
     assert latest_checkpoint(ckpt_dir, "model.pth") == 2
 
 
+def test_checkpoint_async_save_two_names(tmp_path):
+    """Back-to-back block=False saves under DIFFERENT names (train_vae's
+    vae+disc, DMD's latest+best) use per-root checkpointers so the second
+    save is not queued behind the first's disk write; both restore."""
+    from controlnet_tpu.io.checkpoint import wait_for_checkpoints
+
+    ckpt_dir = str(tmp_path / "task")
+    a = {"w": jnp.full((2, 2), 3.0)}
+    b = {"w": jnp.full((2, 2), 5.0)}
+    save_checkpoint(ckpt_dir, "vae_autoencoder_ckpt.pth", 1, a, block=False)
+    save_checkpoint(ckpt_dir, "vae_discriminator_ckpt.pth", 1, b, block=False)
+    ra, _ = restore_checkpoint(ckpt_dir, "vae_autoencoder_ckpt.pth", a)
+    rb, _ = restore_checkpoint(ckpt_dir, "vae_discriminator_ckpt.pth", b)
+    np.testing.assert_array_equal(np.asarray(ra["w"]), np.asarray(a["w"]))
+    np.testing.assert_array_equal(np.asarray(rb["w"]), np.asarray(b["w"]))
+    wait_for_checkpoints()
+
+
 def test_cifar_dataset_rgb_hints(tmp_path):
     """RGB tree + RGB->gray canny hints (cifar_dataset.py:141-158)."""
     from controlnet_tpu.data.datasets import CifarDataset

@@ -345,3 +345,14 @@ def test_export_cli_consistency_wrapper(tmp_path):
     tm = ref_cons.ConsistencyControlNet(TINY).eval()
     tm.load_state_dict(ckpt["model_state_dict"], strict=True)
     tm.load_state_dict(ckpt["ema_teacher_state_dict"], strict=True)
+
+    # Re-exporting to the same default path must refuse rather than clobber
+    # (that path is where import_torch_checkpoint keeps the reference .pth);
+    # --force permits it.
+    args = types.SimpleNamespace(config_path=_tiny_cfg(tmp_path, task),
+                                 type="consistency", ckpt=None, step=None,
+                                 out=None)
+    with pytest.raises(SystemExit, match="refusing to overwrite"):
+        main(args)
+    args.force = True
+    main(args)  # succeeds with --force

@@ -143,6 +143,12 @@ def main(args):
     out_name = DMD_REF_CKPT if args.type == "dmd" and args.ckpt is None else name
     out = args.out or os.path.join(
         task_name, out_name if out_name.endswith(".pth") else out_name + ".pth")
+    # The default path is exactly where import_torch_checkpoint keeps the
+    # original reference .pth; never clobber an existing file silently.
+    if os.path.exists(out) and not getattr(args, "force", False):
+        raise SystemExit(
+            f"refusing to overwrite existing {out} (it may be the original "
+            f"reference checkpoint) — pass --out <path> or --force")
     save_torch_checkpoint(payload, out)
     n = len(payload if args.type not in ("consistency", "dmd")
             else payload["model_state_dict"])
@@ -161,4 +167,6 @@ if __name__ == "__main__":
     parser.add_argument("--step", type=int, default=None,
                         help="checkpoint step (default: latest)")
     parser.add_argument("--out", default=None, help="output .pth path")
+    parser.add_argument("--force", action="store_true",
+                        help="overwrite an existing output file")
     main(parser.parse_args())
