@@ -11,9 +11,13 @@ UNets, per SURVEY.md §2.9/§5.7-5.8):
 * multi-host: ``jax.distributed.initialize()`` + per-host data slices feed
   ``jax.make_array_from_process_local_data``.
 
-TP/PP/SP machinery is deliberately absent: the largest attention here runs
-over <=1024 tokens and the models fit on one chip with room to spare —
-recorded as out-of-scope per SURVEY.md §5.7 rather than built as dead code.
+Tensor parallelism lives in parallel/tp.py (Megatron-style param sharding
+over the "model" axis, annotation-only — XLA inserts the psums); it is
+off by default because these models fit on one chip with room to spare
+(SURVEY.md §5.7) — data parallelism is the deployment answer, TP the
+headroom for larger-than-chip variants and latency-bound serving.
+PP/SP remain out-of-scope per SURVEY.md §5.7 (<=1024-token attention,
+shallow model) rather than built as dead code.
 """
 
 from __future__ import annotations
