@@ -248,3 +248,28 @@ def test_tensor_parallel_train_step_matches_single_device():
     # and the updated params must STAY sharded (no silent de-sharding)
     shardings = [x.sharding for x in jax.tree.leaves(s2.params)]
     assert any(not sh.is_fully_replicated for sh in shardings)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tensor_parallel_ldm_controlnet_forward():
+    """The TP grammar must handle the LDM ControlNet variant too (strided
+    hint encoder, zero convs, unknown nodes replicated) — sharded forward
+    matches replicated."""
+    from controlnet_tpu.models.controlnet import ControlNet
+    from controlnet_tpu.parallel.tp import tp_shard_params
+
+    cfg = dict(im_channels=4, im_size=8, hint_channels=3,
+               down_channels=[8, 16, 16], mid_channels=[16, 16],
+               down_sample=[True, False], time_emb_dim=8, num_down_layers=1,
+               num_mid_layers=1, num_up_layers=1, num_heads=2)
+    cn = ControlNet(4, cfg, down_sample_factor=4, model_locked=True)
+    p = cn.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(model_parallel=2)
+    sp = tp_shard_params(p, mesh)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 4))
+    hint = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 3))
+    t = jnp.array([1, 5, 9, 3])
+    f = jax.jit(lambda p, x, t, h: cn(p, x, t, h))
+    ref = np.asarray(f(p, x, t, hint))
+    out = np.asarray(f(sp, x, t, hint))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
