@@ -273,3 +273,29 @@ def test_tensor_parallel_ldm_controlnet_forward():
     ref = np.asarray(f(p, x, t, hint))
     out = np.asarray(f(sp, x, t, hint))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tensor_parallel_vae_encode():
+    """The TP grammar also covers the VAE's resnet blocks (same param
+    grammar); sharded encode matches replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from controlnet_tpu.models.vae import VAE
+    from controlnet_tpu.parallel.tp import tp_param_specs, tp_shard_params
+
+    cfg = dict(z_channels=2, codebook_size=4, down_channels=[8, 16, 16],
+               mid_channels=[16], down_sample=[True, True],
+               attn_down=[False, False], norm_channels=4, num_heads=2,
+               num_down_layers=1, num_mid_layers=1, num_up_layers=1)
+    vae = VAE(3, cfg)
+    p = vae.init(jax.random.PRNGKey(0))
+    n_sharded = sum(1 for s in jax.tree.leaves(
+        tp_param_specs(p, 2), is_leaf=lambda x: isinstance(x, P)) if s != P())
+    assert n_sharded > 0
+    mesh = make_mesh(model_parallel=2)
+    sp = tp_shard_params(p, mesh)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    f = jax.jit(lambda p, x: vae.encode(p, x, jax.random.PRNGKey(2))[0])
+    np.testing.assert_allclose(np.asarray(f(sp, x)), np.asarray(f(p, x)),
+                               atol=1e-5)
