@@ -182,6 +182,10 @@ def main():
         "value": round(ours, 4),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        # what vs_baseline is measured against: the torch reference run on
+        # this host's CPU — the only hardware it can run on here (BASELINE.md
+        # has the idealized-H100 accounting)
+        "baseline": "host-cpu-torch-reference",
     }
     if north:
         # North-star config (BASELINE.md): CelebHQ LDM ControlNet 1000-step

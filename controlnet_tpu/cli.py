@@ -97,14 +97,29 @@ def put_batch(batch, mesh):
     n_data = mesh.shape["data"]
     leaves = jax.tree.leaves(batch)
     b = leaves[0].shape[0] if leaves else 0
-    if b % n_data != 0:
-        keep = (b // n_data) * n_data
+    # Each process contributes its LOCAL shard, so divisibility is against
+    # the per-process slice of the data axis, not the global axis size
+    # (ADVICE r3: comparing the host-local batch to the global size
+    # over-trims on multi-host).
+    n_proc = jax.process_count()
+    n_local = max(1, n_data // n_proc)
+    if b % n_local != 0:
+        keep = (b // n_local) * n_local
         if keep == 0:
+            if n_proc > 1:
+                # Replicated placement of per-process-DIFFERENT data is an
+                # SPMD desync (every process would jnp.asarray its own batch
+                # as if it were one consistent global array) — refuse.
+                raise ValueError(
+                    f"host-local batch of {b} is smaller than the per-process "
+                    f"data-axis shard ({n_local}); pad the batch or shrink "
+                    f"the data axis — replicated fallback is not SPMD-safe "
+                    f"across {n_proc} processes")
             _warn_once(f"tiny:{b}", f"batch of {b} smaller than the data axis "
                        f"({n_data} shards) — placing replicated (slow path)")
             return jax.tree.map(jnp.asarray, batch)
         _warn_once(f"trim:{b}", f"trimming batch {b} -> {keep} for data-axis "
-                   f"({n_data}-way) divisibility; warning shown once")
+                   f"(per-process {n_local}-way) divisibility; warning shown once")
         batch = jax.tree.map(lambda x: x[:keep], batch)
     return shard_host_local_batch(batch, mesh)
 

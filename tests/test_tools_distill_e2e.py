@@ -214,14 +214,21 @@ def test_serve_distilled_model_concurrent_load(ws):
         assert samples.shape[0] == 3
         assert np.all(np.isfinite(samples))
 
-        # malformed batch body -> 400, server stays up
-        req = urllib.request.Request(f"{base}/generate_batch", data=b"junk",
-                                     method="POST")
-        try:
-            urllib.request.urlopen(req, timeout=30)
-            assert False, "expected 400"
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+        # malformed bodies and bad query params -> 400, server stays up
+        bad_requests = [
+            (f"{base}/generate_batch", b"junk"),           # undecodable npz
+            (f"{base}/generate", b"not-a-png"),            # undecodable image
+            (f"{base}/generate?steps=banana", payload),    # non-integer steps
+            (f"{base}/generate?steps=0", payload),         # below allowlist
+            (f"{base}/generate?steps=10000", payload),     # recompile DoS guard
+        ]
+        for url, body in bad_requests:
+            req = urllib.request.Request(url, data=body, method="POST")
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, f"expected 400 for {url}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, url
         health = json.loads(urllib.request.urlopen(f"{base}/healthz", timeout=30).read())
         assert health["status"] == "ok"
     finally:

@@ -109,6 +109,10 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
     """Build the (not yet running) HTTP server; tests drive it in-thread."""
     gen, im_size, im_channels, hint_channels = build_generator(args, config)
     max_batch = getattr(args, "max_batch", 8)
+    # Bounded allowlist for the jit-static steps argument: total compiled
+    # programs are capped at buckets x max_steps (warmup covers steps=1, the
+    # hot path; other allowed values compile once on first use).
+    max_steps = getattr(args, "max_steps", 8)
 
     if warm:
         # AOT warmup: compile every batch bucket before serving.
@@ -160,9 +164,21 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
                 self._reply(404, b"", "text/plain")
 
         def do_POST(self):
+            # steps is a jit static argument: any new value compiles a new
+            # program while holding the device lock, so unparseable or
+            # out-of-range values are a 400, not a recompile (ADVICE r3).
             steps = 1
             if "steps=" in self.path:
-                steps = max(1, int(self.path.split("steps=")[1].split("&")[0]))
+                try:
+                    steps = int(self.path.split("steps=")[1].split("&")[0])
+                except ValueError:
+                    self._reply(400, b"steps must be an integer", "text/plain")
+                    return
+                if not 1 <= steps <= max_steps:
+                    self._reply(
+                        400, f"steps must be in [1, {max_steps}]".encode(),
+                        "text/plain")
+                    return
             length = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(length)
 
@@ -188,7 +204,11 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
             if not self.path.startswith("/generate"):
                 self._reply(404, b"", "text/plain")
                 return
-            img = Image.open(io.BytesIO(raw)).convert("L").resize((im_size, im_size))
+            try:
+                img = Image.open(io.BytesIO(raw)).convert("L").resize((im_size, im_size))
+            except Exception as e:
+                self._reply(400, f"bad image body: {e}".encode(), "text/plain")
+                return
             hint = np.asarray(img, np.float32) / 255.0
             hint = np.repeat(hint[None, :, :, None], hint_channels, axis=-1)
             sample, latency_ms = run(hint, steps)
@@ -223,4 +243,6 @@ if __name__ == "__main__":
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max-batch", dest="max_batch", type=int, default=8)
+    parser.add_argument("--max-steps", dest="max_steps", type=int, default=8,
+                        help="largest allowed ?steps= value (bounds the jit compile cache)")
     main(parser.parse_args())
