@@ -34,6 +34,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _REPL = P()
@@ -81,12 +82,37 @@ def _attention_specs(node: dict, n: int) -> dict:
     return specs
 
 
-def tp_param_specs(params: Any, model_axis_size: int) -> Any:
+# Leaves smaller than this stay replicated under remainder sharding — a
+# weight all-gather per use isn't worth it for kilobyte norms/biases.
+_REMAINDER_MIN_BYTES = 1 << 20
+
+
+def _remainder_spec(leaf: Any, n: int) -> P:
+    """FSDP-style weight sharding for leaves the Megatron grammar leaves
+    replicated (strided down/up-sample convs, hint-encoder tail, zero convs):
+    shard the trailing-most divisible dim.  The activation pattern is
+    unchanged — GSPMD all-gathers the weight at use and reduce-scatters its
+    gradient, so this is pure memory headroom at the cost of one weight
+    collective per use (cheap next to activation traffic at these sizes)."""
+    nbytes = int(np.prod(leaf.shape)) * np.dtype(leaf.dtype).itemsize
+    if nbytes < _REMAINDER_MIN_BYTES:
+        return _REPL
+    for axis in range(len(leaf.shape) - 1, -1, -1):
+        if leaf.shape[axis] % n == 0 and leaf.shape[axis] >= n:
+            return P(*([None] * axis + ["model"]))
+    return _REPL
+
+
+def tp_param_specs(params: Any, model_axis_size: int,
+                   shard_remainder: bool = True) -> Any:
     """PartitionSpec pytree (same structure as ``params``) sharding ResNet
     and attention interiors over the mesh "model" axis.
 
     ``model_axis_size`` is ``mesh.shape["model"]``; with size 1 everything
-    is replicated (the specs degenerate to P()).
+    is replicated (the specs degenerate to P()).  ``shard_remainder`` adds
+    FSDP-style weight sharding for >=1MB leaves outside the Megatron
+    grammar (see ``_remainder_spec``) — on the celebhq LDM ControlNet this
+    lifts the sharded fraction from 72% to ~97% of param bytes.
     """
     n = model_axis_size
 
@@ -99,14 +125,56 @@ def tp_param_specs(params: Any, model_axis_size: int) -> Any:
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             return type(node)(walk(v) for v in node)
-        return _REPL
+        return _remainder_spec(node, n) if (shard_remainder and n > 1) else _REPL
 
     return walk(params)
 
 
 def tp_shard_params(params: Any, mesh: Mesh) -> Any:
     """Device-put ``params`` with Megatron TP over the mesh "model" axis
-    (and replication over "data")."""
+    (and replication over "data").
+
+    Also declares the model-axis size to ``ops.attention`` so attention
+    dispatch stays on the XLA path (GSPMD-partitionable einsums) instead of
+    an unpartitionable ``pallas_call`` — with TP active the kernel would be
+    silently all-gathered and run replicated."""
+    from controlnet_tpu.ops.attention import set_tp_model_axis
+
+    set_tp_model_axis(mesh.shape["model"])
     specs = tp_param_specs(params, mesh.shape["model"])
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def tp_memory_report(params: Any, model_axis_size: int) -> dict:
+    """Quantify the TP memory-headroom claim: per-device parameter bytes at
+    TP=n vs fully replicated (TP=1).
+
+    Accepts concrete arrays OR ``jax.eval_shape`` ShapeDtypeStructs (so the
+    O(100M)-param celebhq config can be measured without allocating it).
+    ``sharded_fraction`` is the fraction of total param bytes carrying a
+    "model"-axis spec; ``reduction_vs_replicated`` is the per-device byte
+    saving (upper bound 1 - 1/n when everything shards).
+    """
+    specs = tp_param_specs(params, model_axis_size)
+    n = model_axis_size
+    total = 0
+    sharded = 0
+
+    def acc(x, s):
+        nonlocal total, sharded
+        nbytes = int(np.prod(x.shape)) * np.dtype(x.dtype).itemsize
+        total += nbytes
+        if s != _REPL:
+            sharded += nbytes
+
+    jax.tree.map(acc, params, specs)
+    per_device = (total - sharded) + sharded // n
+    return {
+        "model_axis": n,
+        "total_bytes": total,
+        "sharded_bytes": sharded,
+        "sharded_fraction": sharded / max(total, 1),
+        "per_device_bytes": per_device,
+        "reduction_vs_replicated": 1.0 - per_device / max(total, 1),
+    }
