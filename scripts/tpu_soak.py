@@ -29,7 +29,8 @@ from controlnet_tpu import cli
 cli.setup_jax()  # compile cache + the XLA-CPU codegen deadlock guard
 
 from controlnet_tpu.io.checkpoint import (latest_checkpoint, restore_checkpoint,
-                                          save_checkpoint, wait_for_checkpoints)
+                                          save_checkpoint_background,
+                                          wait_for_checkpoints)
 from controlnet_tpu.models.controlnet import ControlNet
 from controlnet_tpu.schedules.linear import make_linear_schedule
 from controlnet_tpu.train.loops import make_controlnet_train_step
@@ -97,17 +98,16 @@ while time.time() < deadline:
     losses.append(acc)
     print(f"step {i}: {dt * 1e3:.1f} ms/step, loss {acc:.5f}", flush=True)
     if i % 1000 == 0:
-        # async: stall = device->host snapshot + dispatch; the serialize+
-        # write overlaps the next 1000 steps (blocking save measured
-        # 73s/save on this state — docs/artifacts/tpu_soak.json, pre-async).
+        # Fully-overlapped save: the training thread pays only an on-device
+        # HBM copy dispatch; D2H (28-44s of tunnel time for this 2.3GB
+        # state — docs/artifacts/tpu_soak_resume.json, pre-overlap) and the
+        # disk write both run on the checkpoint worker thread concurrent
+        # with the next 1000 steps.
         t0 = time.time()
-        host_state = jax.device_get(state)
-        t_d2h = time.time() - t0
-        save_checkpoint(WS, CKPT, i, host_state, block=False)
+        save_checkpoint_background(WS, CKPT, i, state)
         stall = time.time() - t0
         ckpt_stalls.append(stall)
-        print(f"  checkpoint dispatched @ {i} "
-              f"({stall:.2f}s stall, {t_d2h:.2f}s of it device->host)",
+        print(f"  checkpoint dispatched @ {i} ({stall:.2f}s stall)",
               flush=True)
 
 wait_for_checkpoints()

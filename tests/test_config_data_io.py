@@ -139,6 +139,48 @@ def test_checkpoint_async_save_two_names(tmp_path):
     wait_for_checkpoints()
 
 
+def test_checkpoint_background_save(tmp_path):
+    """save_checkpoint_background snapshots on-device and returns
+    immediately; the donated/mutated ORIGINAL buffers must not leak into the
+    checkpoint, overlapping saves serialize per root, and restore sees the
+    final state (VERDICT r3 weak #6 — the D2H overlap path)."""
+    from controlnet_tpu.io.checkpoint import (
+        save_checkpoint_background, wait_for_checkpoints)
+
+    ckpt_dir = str(tmp_path / "task")
+    tree = {"w": jnp.arange(8, dtype=jnp.float32), "step": 1}
+    save_checkpoint_background(ckpt_dir, "model.pth", 1, tree)
+    # mutate what the trainer would do next step: the snapshot semantics
+    # must have captured the value at call time
+    tree2 = {"w": tree["w"] * 10, "step": 2}
+    save_checkpoint_background(ckpt_dir, "model.pth", 2, tree2)
+    restored, step = restore_checkpoint(ckpt_dir, "model.pth", tree2)
+    assert step == 2 and restored["step"] == 2
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(8, dtype=np.float32) * 10)
+    restored1, _ = restore_checkpoint(ckpt_dir, "model.pth", tree, step=1)
+    np.testing.assert_array_equal(np.asarray(restored1["w"]),
+                                  np.arange(8, dtype=np.float32))
+    wait_for_checkpoints()  # idempotent once drained
+
+
+def test_checkpoint_background_save_surfaces_worker_errors(tmp_path, monkeypatch):
+    """A failure on the save worker thread must not vanish — it re-raises at
+    the next wait_for_checkpoints()."""
+    import controlnet_tpu.io.checkpoint as ckpt_mod
+
+    def boom(_):
+        raise RuntimeError("synthetic D2H failure")
+
+    monkeypatch.setattr(ckpt_mod.jax, "device_get", boom)
+    ckpt_mod.save_checkpoint_background(
+        str(tmp_path / "task"), "model.pth", 1, {"w": jnp.ones(2)})
+    with pytest.raises(RuntimeError, match="background checkpoint save failed"):
+        ckpt_mod.wait_for_checkpoints()
+    # errors drain: a second wait is clean
+    ckpt_mod.wait_for_checkpoints()
+
+
 def test_cifar_dataset_rgb_hints(tmp_path):
     """RGB tree + RGB->gray canny hints (cifar_dataset.py:141-158)."""
     from controlnet_tpu.data.datasets import CifarDataset

@@ -28,8 +28,9 @@ import optax
 
 from controlnet_tpu import cli, config as cfg
 from controlnet_tpu.data.datasets import iterate_batches
-from controlnet_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,
-                                           wait_for_checkpoints)
+from controlnet_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,  # noqa: F401
+                                          save_checkpoint_background,
+                                          wait_for_checkpoints)
 from controlnet_tpu.models.consistency import ConsistencyDistilled
 from controlnet_tpu.train.loops import make_consistency_train_step
 from controlnet_tpu.train.state import create_train_state
@@ -113,9 +114,8 @@ def train(args):
             timer.add(metrics.get("total_loss", metrics.get("consistency_loss")))
         print(f"Epoch {epoch_idx + 1} | {timer.summary()}")
         if cli.should_save_epoch(epoch_idx, num_epochs, train_config.get("ckpt_save_every_epochs", 1)):
-            save_checkpoint(task_name, CKPT_NAME, epoch_idx + 1,
-                            jax.device_get({"state": state, "ema": ema}),
-                            block=False)
+            save_checkpoint_background(task_name, CKPT_NAME, epoch_idx + 1,
+                                       {"state": state, "ema": ema})
     wait_for_checkpoints()
     print("Distillation training completed!")
 

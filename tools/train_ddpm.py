@@ -20,8 +20,9 @@ import optax
 
 from controlnet_tpu import cli, config as cfg
 from controlnet_tpu.data.datasets import iterate_batches
-from controlnet_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,
-                                           wait_for_checkpoints)
+from controlnet_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,  # noqa: F401
+                                          save_checkpoint_background,
+                                          wait_for_checkpoints)
 from controlnet_tpu.models.unet import UNet
 from controlnet_tpu.schedules.linear import make_linear_schedule
 from controlnet_tpu.train.loops import make_ddpm_train_step
@@ -80,8 +81,7 @@ def train(args):
             timer.add(loss)
         print(f"Finished epoch:{epoch_idx + 1} | {timer.summary()}")
         if cli.should_save_epoch(epoch_idx, num_epochs, train_config.get("ckpt_save_every_epochs", 1)):
-            save_checkpoint(task_name, ckpt_name, epoch_idx + 1, jax.device_get(state),
-                            block=False)
+            save_checkpoint_background(task_name, ckpt_name, epoch_idx + 1, state)
     wait_for_checkpoints()
     print("Done Training ...")
 

@@ -22,8 +22,9 @@ import optax
 
 from controlnet_tpu import cli, config as cfg
 from controlnet_tpu.data.datasets import iterate_batches
-from controlnet_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,
-                                           wait_for_checkpoints)
+from controlnet_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,  # noqa: F401
+                                          save_checkpoint_background,
+                                          wait_for_checkpoints)
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.dmd import DistributionMatchingDistilled
 from controlnet_tpu.schedules.linear import add_noise
@@ -189,12 +190,12 @@ def train(args):
                 sample_dir, f"epoch_{epoch_idx + 1:03d}_comparison.png"), nrow=x0.shape[0])
 
         # ---- checkpoints incl. best-model tracking (:260-274) ----
-        save_checkpoint(task_name, CKPT_NAME, epoch_idx + 1,
-                        jax.device_get({"state": state}), block=False)
+        save_checkpoint_background(task_name, CKPT_NAME, epoch_idx + 1,
+                                   {"state": state})
         if val_mean < best_val:
             best_val = val_mean
-            save_checkpoint(task_name, BEST_CKPT_NAME, epoch_idx + 1,
-                            jax.device_get({"state": state}), block=False)
+            save_checkpoint_background(task_name, BEST_CKPT_NAME, epoch_idx + 1,
+                                       {"state": state})
             print(f"New best model (val {best_val:.4f})")
 
     plot_training_curves(history, os.path.join(task_name, "dmd_training_curves.png"))

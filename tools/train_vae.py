@@ -28,8 +28,9 @@ import optax
 
 from controlnet_tpu import cli, config as cfg
 from controlnet_tpu.data.datasets import iterate_batches
-from controlnet_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,
-                                           wait_for_checkpoints)
+from controlnet_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,  # noqa: F401
+                                          save_checkpoint_background,
+                                          wait_for_checkpoints)
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.discriminator import Discriminator
 from controlnet_tpu.models.lpips import LPIPS, default_weights_path, load_torch_weights
@@ -151,10 +152,9 @@ def train(args):
         else:
             print("Finished epoch: {} | Recon Loss : {:.4f} | Perceptual Loss : {:.4f}".format(
                 epoch_idx + 1, means["recon_loss"], means["perceptual_loss"]))
-        save_checkpoint(task_name, vae_ckpt, epoch_idx + 1,
-                        jax.device_get({"g": g_state, "d": d_state}), block=False)
-        save_checkpoint(task_name, disc_ckpt, epoch_idx + 1, jax.device_get(d_state),
-                        block=False)
+        save_checkpoint_background(task_name, vae_ckpt, epoch_idx + 1,
+                                   {"g": g_state, "d": d_state})
+        save_checkpoint_background(task_name, disc_ckpt, epoch_idx + 1, d_state)
     wait_for_checkpoints()
     print("Done Training...")
 
