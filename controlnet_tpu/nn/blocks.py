@@ -113,6 +113,18 @@ class _AttnLayer:
             out = self.attn(p["attn"], tokens)
         return x + out.reshape(b, h, w, c)
 
+    def pair(self, p_a: Params, p_b: Params, xa: jax.Array, xb: jax.Array
+             ) -> tuple[jax.Array, jax.Array]:
+        """Two self-attention layers (different weights) with their attention
+        cores batched into one kernel invocation (see
+        MultiheadAttention.pair).  Self-attention only."""
+        assert self.context_dim is None
+        (b, h, w, c) = xa.shape
+        ta = self.norm(p_a["norm"], xa.reshape(b, h * w, c))
+        tb = self.norm(p_b["norm"], xb.reshape(b, h * w, c))
+        oa, ob = self.attn.pair(p_a["attn"], p_b["attn"], ta, tb)
+        return xa + oa.reshape(b, h, w, c), xb + ob.reshape(b, h, w, c)
+
     def tl(self, p: Params, x: jax.Array, context: jax.Array | None = None) -> jax.Array:
         """Transposed-layout forward: x is (C, B, L); tokens are already the
         lane axis, so no reshapes are needed around the attention op."""
@@ -187,6 +199,20 @@ class DownBlock:
                 out = self.xattns[i](p["xattns"][i], out, context)
         return self.down(p["down"], out)
 
+    def pair(self, p_a: Params, p_b: Params, xa: jax.Array, xb: jax.Array,
+             ta: jax.Array | None, tb: jax.Array | None
+             ) -> tuple[jax.Array, jax.Array]:
+        """Dual-trunk forward: resnets/downsample run per trunk (grouped
+        convs lost the round-2 A/B — forward_fused docstring), but each
+        layer's two self-attention cores batch into ONE kernel call."""
+        oa, ob = xa, xb
+        for i in range(self.num_layers):
+            oa = self.resnets[i](p_a["resnets"][i], oa, ta)
+            ob = self.resnets[i](p_b["resnets"][i], ob, tb)
+            if self.attn:
+                oa, ob = self.attns[i].pair(p_a["attns"][i], p_b["attns"][i], oa, ob)
+        return self.down(p_a["down"], oa), self.down(p_b["down"], ob)
+
     def tl(self, p: Params, x: jax.Array, t_emb=None, context=None,
            hw: tuple[int, int] = None) -> jax.Array:
         """Transposed-layout forward on (C, B, L).  If this block
@@ -257,6 +283,19 @@ class MidBlock:
                 out = self.xattns[i](p["xattns"][i], out, context)
             out = self.resnets[i + 1](p["resnets"][i + 1], out, t_emb)
         return out
+
+    def pair(self, p_a: Params, p_b: Params, xa: jax.Array, xb: jax.Array,
+             ta: jax.Array | None, tb: jax.Array | None
+             ) -> tuple[jax.Array, jax.Array]:
+        """Dual-trunk mid forward — per-trunk resnets, batched attention
+        cores (see DownBlock.pair)."""
+        oa = self.resnets[0](p_a["resnets"][0], xa, ta)
+        ob = self.resnets[0](p_b["resnets"][0], xb, tb)
+        for i in range(self.num_layers):
+            oa, ob = self.attns[i].pair(p_a["attns"][i], p_b["attns"][i], oa, ob)
+            oa = self.resnets[i + 1](p_a["resnets"][i + 1], oa, ta)
+            ob = self.resnets[i + 1](p_b["resnets"][i + 1], ob, tb)
+        return oa, ob
 
     def tl(self, p: Params, x: jax.Array, t_emb=None, context=None,
            hw: tuple[int, int] = None) -> jax.Array:
