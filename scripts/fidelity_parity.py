@@ -564,6 +564,133 @@ def stage_ours_cd():
     print("our consistency samples written")
 
 
+def stage_ours_cd_xt():
+    """Cross-teacher control (VERDICT r3 next #5): distill OUR consistency
+    student from the IMPORTED REFERENCE ControlNet teacher (the torch
+    checkpoint stage_ref_cn trained, brought over via io/torch_import)
+    under the identical protocol/seed as stage_ours_cd, then 1-step sample
+    on the same hints.
+
+    Interpretation: round 3 found cross-stack FFD for the consistency
+    stage ABOVE the noise floors while both students sat equally close to
+    the data — argued as teacher/RNG-lineage amplification, not framework
+    divergence.  This stage isolates the variable: same reference teacher
+    on both sides, only the framework differs.  If FFD(ours-from-ref-
+    teacher vs ref-student) falls at/inside the floors, the round-3 claim
+    is proven; if it stays high, the gap is in the student training
+    itself."""
+    import copy
+    import types
+
+    import jax
+    import numpy as np
+    import optax
+    import yaml
+
+    from controlnet_tpu.io.checkpoint import latest_checkpoint, save_checkpoint
+    from controlnet_tpu.io.torch_import import (import_controlnet,
+                                                load_torch_state_dict)
+    from controlnet_tpu.models.controlnet import ControlNet
+    from controlnet_tpu.train.state import create_train_state
+
+    task = os.path.join(WS, "ours_cd_xt_task")
+    os.makedirs(task, exist_ok=True)
+    if latest_checkpoint(task, "controlnet_ckpt.pth") is None:
+        sd = load_torch_state_dict(
+            os.path.join(WS, "ref_run", "mnist", "controlnet_ckpt.pth"))
+        cn = ControlNet(1, CONFIG["model_params"])
+        params = import_controlnet(sd, cn)
+        trainable, frozen = cn.split_params(params)
+        save_checkpoint(task, "controlnet_ckpt.pth", 0,
+                        {"state": create_train_state(trainable, optax.adam(1e-4)),
+                         "frozen": frozen})
+        print("reference ControlNet teacher imported into our format")
+
+    cfg = copy.deepcopy(CONFIG)
+    cfg["train_params"].update({
+        "task_name": task, "controlnet_ckpt_name": "controlnet_ckpt.pth",
+        "consistency_ckpt_name": "consistency_controlnet_distilled.pth",
+        "consistency_epochs": CD_EPOCHS, "consistency_lr": 0.0001,
+        "use_ddpm_distillation": True, "seed": 21,
+    })
+    cfgp = os.path.join(WS, "ours_cd_xt.yaml")
+    with open(cfgp, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from tools.train_consistency_controlnet_distilled import train
+
+    if latest_checkpoint(task, "consistency_controlnet_distilled.pth") != CD_EPOCHS:
+        train(types.SimpleNamespace(config_path=cfgp))
+    print("our cross-teacher consistency student trained")
+
+    from controlnet_tpu.models.consistency import ConsistencyDistilled
+    from tools.sample_consistency_controlnet_distilled import load_student
+
+    model = ConsistencyDistilled(1, CONFIG["model_params"], use_ddpm_teacher=False)
+    sp = load_student(task, model)
+    _, hints = _test_hints(N_SAMPLES)
+    outs = []
+    for b0 in range(0, N_SAMPLES, SAMPLE_BATCH):
+        nb = min(SAMPLE_BATCH, N_SAMPLES - b0)
+        x0 = model.generate({"student": sp}, hints[b0:b0 + nb],
+                            (nb, IM_SIZE, IM_SIZE, 1),
+                            jax.random.PRNGKey(900 + b0), 1)
+        outs.append((np.clip(np.asarray(x0), -1, 1) + 1) / 2)
+        print(f"ours cd_xt sampled {b0 + nb}/{N_SAMPLES}", flush=True)
+    _save_pngs(np.concatenate(outs), os.path.join(WS, "ours_cd_xt_samples"))
+    print("our cross-teacher consistency samples written")
+
+
+def stage_eval_cd_xt():
+    import json as _json
+
+    import cv2
+    import numpy as np
+
+    from tools.eval_metrics import evaluate, load_images
+
+    ref = load_images(os.path.join(WS, "ref_cd_samples"), 1)
+    ours_xt = load_images(os.path.join(WS, "ours_cd_xt_samples"), 1)
+    rows = {}
+    rows["ffd_cdxt_ours_vs_ref"] = evaluate(ours_xt, ref, 1)["ffd"]
+    h = len(ref) // 2
+    rows["ffd_cdxt_noise_floor_ref_halves"] = evaluate(ref[:h], ref[h:], 1)["ffd"]
+    rows["ffd_cdxt_noise_floor_ours_halves"] = evaluate(
+        ours_xt[:h], ours_xt[h:], 1)["ffd"]
+    _ci_rows(rows, "ffd_cdxt_", ref, ours_xt)
+    train_imgs = load_images(os.path.join(WS, "data", "train", "0"), 1)
+    for cls in ("1", "2", "3"):
+        train_imgs = np.concatenate(
+            [train_imgs, load_images(os.path.join(WS, "data", "train", cls), 1)])
+    rows["ffd_cdxt_ref_vs_train"] = evaluate(ref, train_imgs, 1)["ffd"]
+    rows["ffd_cdxt_ours_vs_train"] = evaluate(ours_xt, train_imgs, 1)["ffd"]
+    # the same-framework control: our OWN-teacher student vs the
+    # cross-teacher student — how much does the teacher alone move FFD?
+    own = os.path.join(WS, "ours_cd_samples")
+    if os.path.isdir(own):
+        ours_own = load_images(own, 1)
+        rows["ffd_cdxt_vs_own_teacher_student"] = evaluate(ours_xt, ours_own, 1)["ffd"]
+
+    _, hints = _test_hints(len(ref))
+
+    def hint_following(samples) -> float:
+        agree = []
+        for s, hint in zip(samples, hints):
+            e = (cv2.Canny((s[..., 0] * 255).astype(np.uint8), 100, 200) > 0)
+            agree.append(float((e == (hint[..., 0] > 0.5)).mean()))
+        return float(np.mean(agree))
+
+    rows["hint_follow_cdxt_ref"] = hint_following(ref)
+    rows["hint_follow_cdxt_ours"] = hint_following(ours_xt)
+    rows["n_samples"] = min(len(ref), len(ours_xt))
+    rows["cd_epochs"] = CD_EPOCHS
+    out = os.path.join(WS, "fidelity_cd_crossteacher_results.json")
+    with open(out, "w") as f:
+        _json.dump(rows, f, indent=2)
+    print(_json.dumps(rows, indent=2))
+    print("wrote", out)
+
+
 def stage_eval_cd():
     import json as _json
 
@@ -815,6 +942,10 @@ if __name__ == "__main__":
         stage_ours_cd()
     if stage == "eval_cd":
         stage_eval_cd()
+    if stage == "ours_cd_xt":
+        stage_ours_cd_xt()
+    if stage == "eval_cd_xt":
+        stage_eval_cd_xt()
     if stage == "ref_dmd":
         stage_ref_dmd()
     if stage == "ours_dmd":
