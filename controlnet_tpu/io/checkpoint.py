@@ -115,6 +115,11 @@ def save_checkpoint_background(ckpt_dir: str, name: str, step: int, tree: Any) -
     :func:`wait_for_checkpoints` before restoring or at shutdown; worker
     failures surface there.
     """
+    if jax.process_count() > 1:
+        # Multi-host arrays are not fully addressable from one process, so
+        # the worker's device_get would fail; use orbax's own multi-host
+        # async path instead (D2H blocking, write overlapped).
+        return save_checkpoint(ckpt_dir, name, step, tree, block=False)
     root = _ckpt_root(ckpt_dir, name)
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, str(step))
