@@ -641,6 +641,94 @@ def stage_ours_cd_xt():
     print("our cross-teacher consistency samples written")
 
 
+def stage_ours_cd_seed():
+    """Within-stack seed control: train OUR consistency student a second
+    time — same own teacher, same protocol, only the training seed changes
+    (21 → 22) — and sample on the same hints.  Combined with the
+    cross-teacher stage (which showed the teacher moves the student by
+    FFD ≈ 0.2), this measures how far two INDEPENDENT training runs of the
+    SAME framework land apart.  If seed-to-seed FFD ≈ the cross-stack
+    10.5, the consistency-stage gap is definitively 'independent runs of
+    equal quality', with the training-RNG stream as the whole story."""
+    import copy
+    import types
+
+    import jax
+    import numpy as np
+    import yaml
+
+    from controlnet_tpu.io.checkpoint import latest_checkpoint
+
+    task = os.path.join(WS, "ours_cd_s22_task")
+    os.makedirs(task, exist_ok=True)
+    for name in ("ddpm_ckpt", "controlnet_ckpt"):
+        link = os.path.join(task, name)
+        src = os.path.join(REPO, "canny_ablation_ws", "cv2", name)
+        if not os.path.exists(link):
+            if os.path.islink(src):
+                src = os.readlink(src)
+            os.symlink(src, link)
+
+    cfg = copy.deepcopy(CONFIG)
+    cfg["train_params"].update({
+        "task_name": task, "controlnet_ckpt_name": "controlnet_ckpt.pth",
+        "consistency_ckpt_name": "consistency_controlnet_distilled.pth",
+        "consistency_epochs": CD_EPOCHS, "consistency_lr": 0.0001,
+        "use_ddpm_distillation": True, "seed": 22,
+    })
+    cfgp = os.path.join(WS, "ours_cd_s22.yaml")
+    with open(cfgp, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from tools.train_consistency_controlnet_distilled import train
+
+    if latest_checkpoint(task, "consistency_controlnet_distilled.pth") != CD_EPOCHS:
+        train(types.SimpleNamespace(config_path=cfgp))
+    print("our seed-22 consistency student trained")
+
+    from controlnet_tpu.models.consistency import ConsistencyDistilled
+    from tools.sample_consistency_controlnet_distilled import load_student
+
+    model = ConsistencyDistilled(1, CONFIG["model_params"], use_ddpm_teacher=False)
+    sp = load_student(task, model)
+    _, hints = _test_hints(N_SAMPLES)
+    outs = []
+    for b0 in range(0, N_SAMPLES, SAMPLE_BATCH):
+        nb = min(SAMPLE_BATCH, N_SAMPLES - b0)
+        x0 = model.generate({"student": sp}, hints[b0:b0 + nb],
+                            (nb, IM_SIZE, IM_SIZE, 1),
+                            jax.random.PRNGKey(900 + b0), 1)
+        outs.append((np.clip(np.asarray(x0), -1, 1) + 1) / 2)
+        print(f"ours cd_s22 sampled {b0 + nb}/{N_SAMPLES}", flush=True)
+    _save_pngs(np.concatenate(outs), os.path.join(WS, "ours_cd_s22_samples"))
+    print("our seed-22 consistency samples written")
+
+
+def stage_eval_cd_seed():
+    import json as _json
+
+    from tools.eval_metrics import evaluate, load_images
+
+    s21 = load_images(os.path.join(WS, "ours_cd_samples"), 1)
+    s22 = load_images(os.path.join(WS, "ours_cd_s22_samples"), 1)
+    ref = load_images(os.path.join(WS, "ref_cd_samples"), 1)
+    rows = {
+        # the headline number: two independent runs of OUR stack
+        "ffd_cd_seed21_vs_seed22": evaluate(s21, s22, 1)["ffd"],
+        "ffd_cd_seed22_vs_ref": evaluate(s22, ref, 1)["ffd"],
+        "ffd_cd_seed21_vs_ref": evaluate(s21, ref, 1)["ffd"],
+    }
+    h = len(s21) // 2
+    rows["ffd_cd_noise_floor_s21_halves"] = evaluate(s21[:h], s21[h:], 1)["ffd"]
+    rows["ffd_cd_noise_floor_s22_halves"] = evaluate(s22[:h], s22[h:], 1)["ffd"]
+    rows["n_samples"] = min(len(s21), len(s22))
+    out = os.path.join(WS, "fidelity_cd_seed_control_results.json")
+    with open(out, "w") as f:
+        _json.dump(rows, f, indent=2)
+    print(_json.dumps(rows, indent=2))
+    print("wrote", out)
+
+
 def stage_eval_cd_xt():
     import json as _json
 
@@ -946,6 +1034,10 @@ if __name__ == "__main__":
         stage_ours_cd_xt()
     if stage == "eval_cd_xt":
         stage_eval_cd_xt()
+    if stage == "ours_cd_seed":
+        stage_ours_cd_seed()
+    if stage == "eval_cd_seed":
+        stage_eval_cd_seed()
     if stage == "ref_dmd":
         stage_ref_dmd()
     if stage == "ours_dmd":
