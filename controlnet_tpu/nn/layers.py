@@ -27,6 +27,20 @@ import jax.numpy as jnp
 Params = Any  # nested dict of jax.Array
 
 
+def _use_fused_proj() -> bool:
+    """Opt-in dispatch for the whole-layer fused attention kernel
+    (projections + attention in one pallas_call, forward-only).  TPU-only,
+    self-attention only, and off under TP sharding for the same GSPMD
+    reason as the core kernel (ops/attention.py)."""
+    import os
+
+    if os.environ.get("CONTROLNET_TPU_ATTN_FUSED_PROJ") != "1":
+        return False
+    from controlnet_tpu.ops.attention import _use_pallas
+
+    return _use_pallas()
+
+
 def silu(x: jax.Array) -> jax.Array:
     return jax.nn.silu(x)
 
@@ -335,6 +349,15 @@ class MultiheadAttention:
             # sampling scans; params stay split for checkpoint parity.
             wqkv = jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1).astype(dt)
             bqkv = jnp.concatenate([p["bq"], p["bk"], p["bv"]]).astype(dt)
+            if _use_fused_proj():
+                # whole-layer fused kernel (projections + attention in one
+                # pallas_call, forward-only — sampling/serving path;
+                # CONTROLNET_TPU_ATTN_FUSED_PROJ=1 opt-in pending TPU A/B)
+                from controlnet_tpu.ops.pallas_attention import fused_attention_proj
+
+                return fused_attention_proj(
+                    q_in, wqkv, bqkv, p["wo"].astype(dt), p["bo"].astype(dt),
+                    self.num_heads)
             qkv = jnp.einsum("blc,cd->bdl", q_in, wqkv,
                              preferred_element_type=dt) + bqkv[None, :, None]
             qt, kt, vt = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]

@@ -341,3 +341,129 @@ def _fused_attention_bwd(interpret, res, dout):
     )(qt, kt, vt, dot_t)
 
     return (_unpad_t(dqt, b, h, lq, d), _unpad_t(dkt, b, h, lk, d), _unpad_t(dvt, b, h, lk, d))
+
+
+# ---------------------------------------------------------------------------
+# Fused-projection attention (round 4, VERDICT r3 next #2a): qkv projection +
+# per-head attention + output projection in ONE kernel, so the (B, 3D, L)
+# qkv tensor and the (B, D, L) attention output never round-trip to HBM.
+# Targets the ~4%-of-step projection/boundary traffic left after round 3.
+# Forward-only (sampling/serving path) — training keeps the custom-VJP
+# kernel above.  Dispatch is opt-in via CONTROLNET_TPU_ATTN_FUSED_PROJ=1
+# (ops/attention.py) pending the end-to-end TPU A/B.
+# ---------------------------------------------------------------------------
+
+
+def _attn_proj_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
+                      *, scale: float, num_heads: int, dh: int, l_q: int,
+                      pipe: bool):
+    """One program = one batch element.  x_ref: (L_p, C_p) post-norm tokens;
+    wqkv_ref: (C_p, 3D_p); bqkv_ref: (3D_p, 1); wo_ref: (D_p, C_p);
+    bo_ref: (1, C_p); o_ref: (L_p, C_p) attention output in token layout
+    (residual add happens outside).
+
+    qkv is computed TRANSPOSED — (3D, L) = wqkv^T x^T via one dot_general —
+    so per-head q/k/v slices are sublane rows (dh a multiple of 8 for every
+    model config: d/heads in {16, 32, 48, 64}), exactly the layout the
+    per-head score/out matmuls want (same reasoning as _attn_kernel_t).
+    Pad columns beyond l_q get the -1e30 iota mask treatment."""
+    x = x_ref[0].astype(jnp.float32)   # (L_p, C_p)
+    wqkv = wqkv_ref[:, :]              # (C_p, 3D_p padded)
+    # (3D_p, L) = contract C: wqkv dim0 with x dim1
+    qkv = jax.lax.dot_general(
+        wqkv, x, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[:, :]  # (3D_p, 1) broadcasts over L lanes
+    d = num_heads * dh          # true (unpadded) model dim; slices use it
+
+    def _scores(h):
+        q = qkv[h * dh:(h + 1) * dh, :]          # (dh, L_p)
+        k = qkv[d + h * dh:d + (h + 1) * dh, :]
+        return jax.lax.dot_general(
+            q, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (L_p, L_p)
+
+    def _finish(h, scores, out_slices):
+        if l_q < scores.shape[-1]:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < l_q, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        v = qkv[2 * d + h * dh:2 * d + (h + 1) * dh, :]  # (dh, L_p)
+        # out_h (dh, L_q rows on lanes): contract L_k
+        out_slices.append(jax.lax.dot_general(
+            v, probs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+
+    out_slices: list = []
+    if pipe and num_heads > 1:
+        # software pipeline across heads: head h+1's MXU scores matmul
+        # overlaps head h's VPU softmax (same pattern as _attn_kernel_t)
+        s_prev = _scores(0)
+        for h in range(1, num_heads):
+            s_cur = _scores(h)
+            _finish(h - 1, s_prev, out_slices)
+            s_prev = s_cur
+        _finish(num_heads - 1, s_prev, out_slices)
+    else:
+        for h in range(num_heads):
+            _finish(h, _scores(h), out_slices)
+
+    out_t = jnp.concatenate(out_slices, axis=0)  # (D, L_p)
+    dp = wo_ref.shape[0]
+    if out_t.shape[0] < dp:  # D padded on the weight side only
+        out_t = jnp.pad(out_t, ((0, dp - out_t.shape[0]), (0, 0)))
+    # (L, C) = contract D: out_t dim0 with wo dim0
+    y = jax.lax.dot_general(
+        out_t, wo_ref[:, :], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (y + bo_ref[:, :]).astype(o_ref.dtype)
+
+
+def fused_attention_proj(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
+                         wo: jax.Array, bo: jax.Array, num_heads: int,
+                         interpret: bool = False) -> jax.Array:
+    """Self-attention with both projections fused: x (B, L, C) post-norm
+    tokens -> (B, L, C) attention output (caller adds the residual).
+
+    wqkv: (C, 3D) concatenated q/k/v projection; bqkv: (3D,); wo: (D, C);
+    bo: (C,).  Forward-only (no VJP) — inference/sampling path."""
+    b, l, c = x.shape
+    d3 = wqkv.shape[1]
+    d = d3 // 3
+    dh = d // num_heads
+    assert dh % 8 == 0, f"head_dim {dh} must be a sublane multiple"
+    scale = 1.0 / (dh ** 0.5)
+    l_p, c_p, d_p = _round_up(l, 128), _round_up(c, 128), _round_up(d, 8)
+    d3_p = _round_up(d3, 128)  # lane dim of the wqkv block
+
+    xp = jnp.pad(x, ((0, 0), (0, l_p - l), (0, c_p - c)))
+    wqkv_p = jnp.pad(wqkv.astype(jnp.float32), ((0, c_p - c), (0, d3_p - d3)))
+    bqkv_p = jnp.pad(bqkv.astype(jnp.float32), (0, d3_p - d3))[:, None]
+    wo_p = jnp.pad(wo.astype(jnp.float32), ((0, d_p - d), (0, c_p - c)))
+    bo_p = jnp.pad(bo.astype(jnp.float32), (0, c_p - c))[None, :]
+    # pipeline doubles live score matrices; cap at the proven 3.5MB point
+    pipe = (l_p * l_p * 4) <= int(3.5 * 1024 * 1024)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_proj_kernel, scale=scale, num_heads=num_heads,
+                          dh=dh, l_q=l, pipe=pipe),
+        out_shape=jax.ShapeDtypeStruct((b, l_p, c_p), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, l_p, c_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_p, d3_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d3_p, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_p, c_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l_p, c_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (l_p * c_p * d3 + num_heads * 2 * l_p * l_p * dh
+                           + l_p * d_p * c_p),
+            bytes_accessed=b * (2 * l_p * c_p * 4) + (c_p * d3 + d_p * c_p) * 4,
+            transcendentals=b * num_heads * l_p * l_p,
+        ),
+    )(xp, wqkv_p, bqkv_p, wo_p, bo_p)
+    return out[:, :l, :c]

@@ -61,6 +61,7 @@ for rep in range(3):
     times.append(time.time() - t0)
 dt = min(times)
 rec = {"variant": VARIANT, "batch": NB, "steps": STEPS,
+       "fused_proj": os.environ.get("CONTROLNET_TPU_ATTN_FUSED_PROJ") == "1",
        "ms_per_step": round(1000.0 * dt / STEPS, 3),
        "samples_per_sec_chip": round(NB / dt, 4),
        "reps_ms_per_step": [round(1000.0 * t / STEPS, 3) for t in times]}

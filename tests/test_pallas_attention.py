@@ -163,3 +163,32 @@ def test_pallas_fallback_warns_once_and_counts(monkeypatch):
     ref = attn._merge_heads(attn._xla_attention(qh, qh, qh))
     np.testing.assert_allclose(np.asarray(out1), np.asarray(ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("b,heads,l,c", [(2, 2, 49, 16), (1, 4, 64, 32)])
+def test_fused_projection_attention_matches_composed(b, heads, l, c):
+    """The fused qkv-projection + attention + out-projection kernel
+    (round 4) vs the composed reference: project, attend (XLA path),
+    project back."""
+    from controlnet_tpu.ops.pallas_attention import fused_attention_proj
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (b, l, c), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (c, 3 * c), jnp.float32) * 0.1
+    bqkv = jax.random.normal(ks[2], (3 * c,), jnp.float32) * 0.1
+    wo = jax.random.normal(ks[3], (c, c), jnp.float32) * 0.1
+    bo = jax.random.normal(ks[4], (c,), jnp.float32) * 0.1
+
+    q = x @ wqkv[:, :c] + bqkv[:c]
+    k = x @ wqkv[:, c:2 * c] + bqkv[c:2 * c]
+    v = x @ wqkv[:, 2 * c:] + bqkv[2 * c:]
+
+    def split(t):
+        return t.reshape(b, l, heads, c // heads).transpose(0, 2, 1, 3)
+
+    attn = _xla_attention(split(q), split(k), split(v))
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, l, c)
+    ref = attn @ wo + bo
+
+    out = fused_attention_proj(x, wqkv, bqkv, wo, bo, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
