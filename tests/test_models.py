@@ -390,3 +390,20 @@ def test_controlnet_paired_forward_gradients(tiny_model_config):
     g_pair = loss(cn.forward_paired)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pair)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_controlnet_paired_forward_bf16(tiny_model_config):
+    """forward_paired under bf16 compute (the sampler A/B configuration):
+    finite, right shape, and close to __call__ at the same dtype."""
+    cn = ControlNet(1, tiny_model_config)
+    cp = cn.init(jax.random.PRNGKey(0))
+    cp["control_unet"] = jax.tree.map(lambda a: a + 0.01, cp["control_unet"])
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1)).astype(jnp.bfloat16)
+    t = jnp.array([5, 100])
+    hint = jnp.ones((2, 8, 8, 3), jnp.bfloat16)
+    ref = jax.jit(lambda p: cn(p, x, t, hint))(cp)
+    paired = jax.jit(lambda p: cn.forward_paired(p, x, t, hint))(cp)
+    assert paired.dtype == ref.dtype
+    assert bool(jnp.all(jnp.isfinite(paired.astype(jnp.float32))))
+    assert float(jnp.abs(ref.astype(jnp.float32)
+                         - paired.astype(jnp.float32)).max()) < 0.1

@@ -214,6 +214,13 @@ def test_serve_distilled_model_concurrent_load(ws):
         assert samples.shape[0] == 3
         assert np.all(np.isfinite(samples))
 
+        # multi-step request inside the allowlist -> 200 (compiles once,
+        # cached thereafter; the consistency model supports num_steps > 1)
+        req = urllib.request.Request(f"{base}/generate?steps=2", data=payload,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+
         # malformed bodies and bad query params -> 400, server stays up
         bad_requests = [
             (f"{base}/generate_batch", b"junk"),           # undecodable npz
