@@ -57,3 +57,13 @@ class StepTimer:
             "p99_s": float(np.percentile(arr, 99)),
             "steps_per_sec": float(1.0 / arr.mean()),
         }
+
+
+def attention_fallback_counts() -> dict:
+    """Per-site Pallas->XLA attention fallback counters (see
+    ops/attention.py): nonzero values on TPU mean the fused kernel failed
+    to dispatch somewhere and the model silently ran the ~2x slower XLA
+    path — check the warn-once log for the first failure's shapes."""
+    from controlnet_tpu.ops.attention import fallback_count
+
+    return fallback_count()
