@@ -158,7 +158,8 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
         def do_GET(self):
             if self.path.startswith("/healthz"):
                 body = json.dumps({"status": "ok", "model": args.model,
-                                   "warm": True, "max_batch": max_batch}).encode()
+                                   "warm": True, "max_batch": max_batch,
+                                   "max_steps": max_steps}).encode()
                 self._reply(200, body, "application/json")
             else:
                 self._reply(404, b"", "text/plain")
