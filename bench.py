@@ -98,8 +98,15 @@ def bench_north_star() -> dict | None:
         params = cn.init(jax.random.PRNGKey(0))
         hint = jnp.zeros((nb, 1024, 1024, 3))
         feats = jax.jit(cn.hint_features)(params, hint)
+        # BENCH_FORWARD=paired routes through forward_paired (dual-trunk
+        # attention batching) — promoted to default only if the recorded
+        # A/B (scripts/tpu_paired_attn_ab.py) wins.
+        if os.environ.get("BENCH_FORWARD") == "paired":
+            fwd = cn.forward_paired
+        else:
+            fwd = cn
         sampler = make_ddpm_sampler(
-            lambda p, x, t, f: cn(p, x, t, hint_features=f),
+            lambda p, x, t, f: fwd(p, x, t, hint_features=f),
             sched, (nb, 32, 32, 4), record_every=STEPS,
             compute_dtype=jnp.bfloat16,
         )
@@ -117,7 +124,7 @@ def bench_north_star() -> dict | None:
         hint8 = jnp.zeros((nb8, 1024, 1024, 3))
         feats8 = jax.jit(cn.hint_features)(params, hint8)
         sampler8 = make_ddpm_sampler(
-            lambda p, x, t, f: cn(p, x, t, hint_features=f),
+            lambda p, x, t, f: fwd(p, x, t, hint_features=f),
             sched, (nb8, 32, 32, 4), record_every=STEPS,
             compute_dtype=jnp.bfloat16,
         )
