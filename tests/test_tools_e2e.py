@@ -96,4 +96,22 @@ def test_controlnet_train_and_sample(tiny_workspace):
     sample(sargs)
     out = os.path.join(tiny_workspace.task, "hint_samples")
     assert os.path.exists(os.path.join(out, "hints.png"))
-    assert glob.glob(os.path.join(out, "x0_*.png"))
+    grids = sorted(glob.glob(os.path.join(out, "x0_*.png")))
+    assert grids
+
+    # CONTROLNET_TPU_FORWARD=paired routes the tool through forward_paired
+    # (dual-trunk attention batching). Same math to ~1e-5 per step, which
+    # can drift through the iterated sampler — so assert the regenerated
+    # grids at the same seed stay close in the mean, not bit-identical.
+    import numpy as np
+    from PIL import Image
+    before = {g: np.asarray(Image.open(g)).astype(np.float32) for g in grids}
+    os.environ["CONTROLNET_TPU_FORWARD"] = "paired"
+    try:
+        sample(sargs)
+    finally:
+        del os.environ["CONTROLNET_TPU_FORWARD"]
+    for g, img in before.items():
+        after = np.asarray(Image.open(g)).astype(np.float32)
+        assert after.shape == img.shape
+        assert float(np.abs(after - img).mean()) < 8.0, g

@@ -69,8 +69,12 @@ def sample(args):
     params = cli.put_replicated(params, mesh)
     # Hint features are loop-invariant: encode once, reuse for all T steps.
     hint_feats = jax.jit(cn.hint_features)(params, jax.numpy.asarray(hints_in))
+    # CONTROLNET_TPU_FORWARD=paired: dual-trunk attention batching (see
+    # tools/sample_ldm_controlnet.py) — same math, scheduling only.
+    fwd = cn.forward_paired if os.environ.get(
+        "CONTROLNET_TPU_FORWARD") == "paired" else cn
     sampler = make_ddpm_sampler(
-        lambda p, x, t, f: cn(p, x, t, hint_features=f), sched, shape,
+        lambda p, x, t, f: fwd(p, x, t, hint_features=f), sched, shape,
         record_every=record_every, mesh=mesh,
     )
     x0, traj = sampler(params, jax.random.PRNGKey(args.seed), hint_feats)

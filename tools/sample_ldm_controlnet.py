@@ -78,8 +78,13 @@ def sample(args):
     # Encode the full-res hint ONCE (loop-invariant across the 1000 steps —
     # this is the 1024^2 strided conv stack, controlnet_ldm.py:45-79).
     hint_feats = jax.jit(cn.hint_features)(params, jax.numpy.asarray(hints_in))
+    # CONTROLNET_TPU_FORWARD=paired: dual-trunk forward with each layer's
+    # two attention cores batched into one kernel call (forward_paired) —
+    # same math, scheduling only (see scripts/tpu_paired_attn_ab.py).
+    fwd = cn.forward_paired if os.environ.get(
+        "CONTROLNET_TPU_FORWARD") == "paired" else cn
     sampler = make_ldm_sampler(
-        lambda p, x, t, f: cn(p, x, t, hint_features=f), lambda p, zz: vae.decode(p, zz),
+        lambda p, x, t, f: fwd(p, x, t, hint_features=f), lambda p, zz: vae.decode(p, zz),
         sched, shape, record_every=record_every, mesh=mesh,
     )
     images, traj = sampler(params, vae_params, jax.random.PRNGKey(args.seed), hint_feats)
