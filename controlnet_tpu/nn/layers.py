@@ -349,12 +349,17 @@ class MultiheadAttention:
             # sampling scans; params stay split for checkpoint parity.
             wqkv = jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=1).astype(dt)
             bqkv = jnp.concatenate([p["bq"], p["bk"], p["bv"]]).astype(dt)
-            if _use_fused_proj():
+            from controlnet_tpu.ops.pallas_attention import (
+                fused_attention_proj, fused_proj_fits)
+
+            if (_use_fused_proj()
+                    and fused_proj_fits(q_in.shape[1], q_in.shape[2], d,
+                                        dt.itemsize)):
                 # whole-layer fused kernel (projections + attention in one
                 # pallas_call, forward-only — sampling/serving path;
-                # CONTROLNET_TPU_ATTN_FUSED_PROJ=1 opt-in pending TPU A/B)
-                from controlnet_tpu.ops.pallas_attention import fused_attention_proj
-
+                # CONTROLNET_TPU_ATTN_FUSED_PROJ=1 opt-in).  Layers whose
+                # footprint exceeds scoped VMEM (L=1024 at north-star
+                # widths) keep the split path below.
                 return fused_attention_proj(
                     q_in, wqkv, bqkv, p["wo"].astype(dt), p["bo"].astype(dt),
                     self.num_heads)

@@ -367,20 +367,31 @@ def _attn_proj_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
     model config: d/heads in {16, 32, 48, 64}), exactly the layout the
     per-head score/out matmuls want (same reasoning as _attn_kernel_t).
     Pad columns beyond l_q get the -1e30 iota mask treatment."""
-    x = x_ref[0].astype(jnp.float32)   # (L_p, C_p)
+    # Memory policy (what fits the L=1024,C=384 layer under the 16MB
+    # scoped-vmem limit on v5e — a full-f32 variant overflowed by 1.5MB):
+    # the big whole-tensor residents (qkv, per-head outputs) live in the
+    # input dtype (bf16 on the sampling path — the same precision at which
+    # the unfused path round-trips them through HBM), while the score /
+    # softmax math upcasts only tiny (dh, L) per-head slices to f32.
+    x = x_ref[0]                       # (L_p, C_p)
     wqkv = wqkv_ref[:, :]              # (C_p, 3D_p padded)
-    # (3D_p, L) = contract C: wqkv dim0 with x dim1
-    qkv = jax.lax.dot_general(
+    # (3D_p, L) = contract C: wqkv dim0 with x dim1.  Mosaic requires a
+    # 32-bit matmul accumulator, so the dot emits f32 and the result is
+    # rounded to the narrow dtype immediately — the f32 copy is transient
+    # (dead before the per-head loop), unlike a persistent f32 qkv.
+    qkv = (jax.lax.dot_general(
         wqkv, x, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    qkv = qkv + bqkv_ref[:, :]  # (3D_p, 1) broadcasts over L lanes
+        + bqkv_ref[:, :].astype(jnp.float32)).astype(x.dtype)
     d = num_heads * dh          # true (unpadded) model dim; slices use it
 
     def _scores(h):
-        q = qkv[h * dh:(h + 1) * dh, :]          # (dh, L_p)
-        k = qkv[d + h * dh:d + (h + 1) * dh, :]
+        q = qkv[h * dh:(h + 1) * dh, :].astype(jnp.float32)  # (dh, L_p)
+        k = qkv[d + h * dh:d + (h + 1) * dh, :].astype(jnp.float32)
         return jax.lax.dot_general(
             q, k, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (L_p, L_p)
+
+    ones_row = jnp.ones((1, qkv.shape[1]), jnp.float32)
 
     def _finish(h, scores, out_slices):
         if l_q < scores.shape[-1]:
@@ -388,12 +399,20 @@ def _attn_proj_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
             scores = jnp.where(col < l_q, scores, -1e30)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        v = qkv[2 * d + h * dh:2 * d + (h + 1) * dh, :]  # (dh, L_p)
-        # out_h (dh, L_q rows on lanes): contract L_k
-        out_slices.append(jax.lax.dot_general(
-            v, probs, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
+        # probs = e / rowsum is never materialized — that third (L, L) f32
+        # overflows scoped vmem at L=1024.  Contract V against the raw e
+        # and normalize the tiny (dh, L) output instead; the row sums come
+        # out in transposed (1, L) layout via a ones-vector MXU reduction.
+        denom_t = jax.lax.dot_general(
+            ones_row, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (1, L): sum_k e[j,k]
+        v = qkv[2 * d + h * dh:2 * d + (h + 1) * dh, :].astype(jnp.float32)
+        # out_h (dh, L_q rows on lanes): contract L_k; stored narrow so the
+        # concatenated (D, L) tensor stays within scoped vmem (see above)
+        out_e = jax.lax.dot_general(
+            v, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_slices.append((out_e / denom_t).astype(qkv.dtype))
 
     out_slices: list = []
     if pipe and num_heads > 1:
@@ -413,11 +432,30 @@ def _attn_proj_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
     dp = wo_ref.shape[0]
     if out_t.shape[0] < dp:  # D padded on the weight side only
         out_t = jnp.pad(out_t, ((0, dp - out_t.shape[0]), (0, 0)))
-    # (L, C) = contract D: out_t dim0 with wo dim0
+    # (L, C) = contract D: out_t dim0 with wo dim0.  out_t casts to the
+    # weight dtype first (bf16 on the sampling path) — same precision as
+    # the unfused path, which hands the attention output to the out
+    # projection through HBM in compute dtype; accumulation stays f32.
     y = jax.lax.dot_general(
-        out_t, wo_ref[:, :], (((0,), (0,)), ((), ())),
+        out_t.astype(wo_ref.dtype), wo_ref[:, :], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = (y + bo_ref[:, :]).astype(o_ref.dtype)
+
+
+def fused_proj_fits(l: int, c: int, d: int, itemsize: int = 2) -> bool:
+    """Whether the mono-kernel's per-program footprint fits the 16MB scoped
+    VMEM limit.  Empirically calibrated on v5e: the L=1024, C=384 north-star
+    layer allocates 16.4-17.5M across several dtype-policy variants (every
+    one over the limit), while L<=512 layers sit far below it.  The estimate
+    charges two live (L, L) f32 score-sized temporaries, the transient-f32 +
+    resident-narrow qkv, and the operand/output blocks, against a 14MB
+    budget (2MB slack for Mosaic relayouts/spills)."""
+    l_p, c_p = _round_up(l, 128), _round_up(c, 128)
+    d3_p = _round_up(3 * d, 128)
+    softmax = 2 * l_p * l_p * 4
+    qkv = d3_p * l_p * (4 + itemsize)
+    blocks = (2 * l_p * c_p + c_p * d3_p + _round_up(d, 8) * c_p) * itemsize
+    return softmax + qkv + blocks <= 14 * 1024 * 1024
 
 
 def fused_attention_proj(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
@@ -438,9 +476,13 @@ def fused_attention_proj(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     d3_p = _round_up(d3, 128)  # lane dim of the wqkv block
 
     xp = jnp.pad(x, ((0, 0), (0, l_p - l), (0, c_p - c)))
-    wqkv_p = jnp.pad(wqkv.astype(jnp.float32), ((0, c_p - c), (0, d3_p - d3)))
-    bqkv_p = jnp.pad(bqkv.astype(jnp.float32), (0, d3_p - d3))[:, None]
-    wo_p = jnp.pad(wo.astype(jnp.float32), ((0, d_p - d), (0, c_p - c)))
+    # weights and the qkv bias ride VMEM in the input dtype (see kernel
+    # docstring: f32 copies overflow scoped vmem at the L=1024,C=384
+    # layer; a f32 bias would promote the whole qkv tensor back to f32).
+    # bo stays f32 — it adds to the already-f32 projection accumulator.
+    wqkv_p = jnp.pad(wqkv.astype(x.dtype), ((0, c_p - c), (0, d3_p - d3)))
+    bqkv_p = jnp.pad(bqkv.astype(x.dtype), (0, d3_p - d3))[:, None]
+    wo_p = jnp.pad(wo.astype(x.dtype), ((0, d_p - d), (0, c_p - c)))
     bo_p = jnp.pad(bo.astype(jnp.float32), (0, c_p - c))[None, :]
     # pipeline doubles live score matrices; cap at the proven 3.5MB point
     pipe = (l_p * l_p * 4) <= int(3.5 * 1024 * 1024)
