@@ -192,3 +192,21 @@ def test_fused_projection_attention_matches_composed(b, heads, l, c):
 
     out = fused_attention_proj(x, wqkv, bqkv, wo, bo, heads, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_proj_footprint_guard():
+    """fused_proj_fits (round 4): the L=1024, C=384 north-star layer
+    measured 16.4-17.5M scoped-VMEM on v5e (over the 16M limit) across
+    every dtype policy, so the guard must route it to the split path,
+    while every other attention layer in the shipped configs fits."""
+    from controlnet_tpu.ops.pallas_attention import fused_proj_fits
+
+    # the oversized layer (celebhq LDM down block 0: 32x32 tokens, C=384)
+    assert not fused_proj_fits(1024, 384, 384, itemsize=2)
+    # remaining celebhq layers: 16x16@512, 8x8@768, mid 4x4@768
+    assert fused_proj_fits(256, 512, 512, itemsize=2)
+    assert fused_proj_fits(64, 768, 768, itemsize=2)
+    assert fused_proj_fits(16, 768, 768, itemsize=2)
+    # MNIST/CIFAR shapes (28^2=784 tokens at small C) fit
+    assert fused_proj_fits(784, 128, 128, itemsize=2)
+    assert fused_proj_fits(1024, 128, 128, itemsize=2)
