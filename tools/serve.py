@@ -243,7 +243,10 @@ if __name__ == "__main__":
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--max-batch", dest="max_batch", type=int, default=8)
+    parser.add_argument("--max-batch", dest="max_batch", type=int, default=16,
+                        help="largest batch bucket (default 16 — the measured "
+                             "per-chip throughput optimum, "
+                             "docs/artifacts/tpu_batch_sweep_r4.json)")
     parser.add_argument("--max-steps", dest="max_steps", type=int, default=8,
                         help="largest allowed ?steps= value (bounds the jit compile cache)")
     main(parser.parse_args())
