@@ -359,3 +359,30 @@ def test_tp_memory_headroom_celebhq():
     assert r4["reduction_vs_replicated"] >= 0.60, r4
     # monotone: more model-parallel ways, less per-device memory
     assert r4["per_device_bytes"] < r2["per_device_bytes"] < r2["total_bytes"]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_background_save_of_mesh_sharded_state(tmp_path):
+    """save_checkpoint_background on a mesh-sharded tree: the one-program
+    snapshot (_snapshot_arrays, round 4) must preserve sharded values —
+    output sharding follows input, the worker's device_get gathers — and
+    the restore must round-trip exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from controlnet_tpu.io.checkpoint import (
+        restore_checkpoint, save_checkpoint_background, wait_for_checkpoints)
+
+    mesh = make_mesh(model_parallel=2)
+    sharded = jax.device_put(
+        jnp.arange(32, dtype=jnp.float32).reshape(8, 4),
+        NamedSharding(mesh, PartitionSpec("data", "model")))
+    repl = jax.device_put(jnp.full((3,), 7.0),
+                          NamedSharding(mesh, PartitionSpec()))
+    tree = {"w": sharded, "b": repl, "step": 5}
+    save_checkpoint_background(str(tmp_path / "task"), "model.pth", 5, tree)
+    wait_for_checkpoints()
+    restored, step = restore_checkpoint(str(tmp_path / "task"), "model.pth", tree)
+    assert step == 5 and restored["step"] == 5
+    np.testing.assert_array_equal(
+        np.asarray(restored["w"]), np.arange(32, dtype=np.float32).reshape(8, 4))
+    np.testing.assert_array_equal(np.asarray(restored["b"]), np.full((3,), 7.0))
