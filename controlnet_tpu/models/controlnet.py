@@ -73,6 +73,7 @@ class ControlNet:
     ):
         self.model_locked = model_locked
         self.down_sample_factor = down_sample_factor
+        self._hint_feat_jit = None  # lazy jit cache for hint_features_chunked
         self.unet = UNet(im_channels, model_config)  # frozen trunk (full)
         self.control_unet = UNet(im_channels, model_config, use_up=False)
         dc = self.unet.down_channels
@@ -165,6 +166,26 @@ class ControlNet:
                 p["hint_block"], tl_conv.to_tl(hint), hint.shape[1:3])
             return tl_conv.from_tl(out, out_hw)
         return self.hint_block(p["hint_block"], hint)
+
+    def hint_features_chunked(self, p: Params, hint: jax.Array,
+                              chunk: int = 16) -> jax.Array:
+        """``hint_features`` in batch chunks, each its own jitted executable.
+
+        The full-res encoder's working set is batch-linear: at (64, 1024²,
+        3) it exceeds one v5e's 16 GB HBM at compile time
+        (docs/artifacts/tpu_batch_sweep_r4.json).  Chunking bounds live
+        intermediates to ``chunk`` samples; since the encoding is a one-time
+        precompute outside the sampling scan, the extra per-chunk dispatches
+        cost nothing measurable.  Output is bit-identical to the unchunked
+        path (pure per-sample conv stack — no cross-batch ops)."""
+        if self._hint_feat_jit is None:
+            self._hint_feat_jit = jax.jit(self.hint_features)
+        n = hint.shape[0]
+        if n <= chunk:
+            return self._hint_feat_jit(p, hint)
+        feats = [self._hint_feat_jit(p, hint[i:i + chunk])
+                 for i in range(0, n, chunk)]
+        return jnp.concatenate(feats, axis=0)
 
     def __call__(self, p: Params, x: jax.Array, t: jax.Array, hint: jax.Array | None = None,
                  hint_features: jax.Array | None = None) -> jax.Array:

@@ -407,3 +407,18 @@ def test_controlnet_paired_forward_bf16(tiny_model_config):
     assert bool(jnp.all(jnp.isfinite(paired.astype(jnp.float32))))
     assert float(jnp.abs(ref.astype(jnp.float32)
                          - paired.astype(jnp.float32)).max()) < 0.1
+
+
+def test_hint_features_chunked_matches_unchunked(tiny_model_config):
+    """hint_features_chunked (round 4: lifts the b64 full-res HBM
+    compile boundary) is bit-identical to the one-shot path, including a
+    non-divisible final chunk."""
+    from controlnet_tpu.models.controlnet import ControlNet
+
+    cfg = dict(tiny_model_config, hint_channels=3)
+    cn = ControlNet(1, cfg, model_locked=True, down_sample_factor=4)
+    p = cn.init(jax.random.PRNGKey(0))
+    hint = jax.random.uniform(jax.random.PRNGKey(1), (5, 16, 16, 3))
+    full = cn.hint_features(p, hint)
+    chunked = cn.hint_features_chunked(p, hint, chunk=2)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))

@@ -77,7 +77,10 @@ def sample(args):
     vae_params = cli.put_replicated(vae_params, mesh)
     # Encode the full-res hint ONCE (loop-invariant across the 1000 steps —
     # this is the 1024^2 strided conv stack, controlnet_ldm.py:45-79).
-    hint_feats = jax.jit(cn.hint_features)(params, jax.numpy.asarray(hints_in))
+    # Chunked over the batch: the encoder's working set is batch-linear and
+    # exceeds one chip's HBM at compile time by batch 64 at 1024^2
+    # (docs/artifacts/tpu_batch_sweep_r4.json); <=16 is a single call.
+    hint_feats = cn.hint_features_chunked(params, jax.numpy.asarray(hints_in))
     # CONTROLNET_TPU_FORWARD=paired: dual-trunk forward with each layer's
     # two attention cores batched into one kernel call (forward_paired) —
     # same math, scheduling only (see scripts/tpu_paired_attn_ab.py).
