@@ -120,26 +120,33 @@ def bench_north_star() -> dict | None:
             "ldm_controlnet_ms_per_step": round(1000.0 * dt / STEPS, 3),
         }
         # throughput mode — batch 16, the round-4 sweep winner (1.4535
-        # samples/s/chip vs 1.4214 at b8 / 0.62 at b32;
+        # samples/s/chip vs 1.4214 at b8 / 1.398 at b32 / 1.350 at b64;
         # docs/artifacts/tpu_batch_sweep_r4.json).  Env-overridable so
-        # future sweeps can re-promote without editing this file.
-        nb_tp = int(os.environ.get("BENCH_THROUGHPUT_BATCH", "16"))
-        hint_tp = jnp.zeros((nb_tp, 1024, 1024, 3))
-        feats_tp = jax.jit(cn.hint_features)(params, hint_tp)
-        sampler_tp = make_ddpm_sampler(
-            lambda p, x, t, f: fwd(p, x, t, hint_features=f),
-            sched, (nb_tp, 32, 32, 4), record_every=STEPS,
-            compute_dtype=jnp.bfloat16,
-        )
-        jax.block_until_ready(sampler_tp(params, jax.random.PRNGKey(1), feats_tp)[0])
-        t0 = time.time()
-        x0, _ = sampler_tp(params, jax.random.PRNGKey(2), feats_tp)
-        jax.block_until_ready(x0)
-        dt_tp = time.time() - t0
-        out["ldm_controlnet_throughput_batch"] = nb_tp
-        out["ldm_controlnet_throughput_samples_per_sec_chip"] = round(nb_tp / dt_tp, 4)
-        if nb_tp == 8:  # legacy key, kept when the legacy batch is requested
-            out["ldm_controlnet_b8_samples_per_sec_chip"] = round(nb_tp / dt_tp, 4)
+        # future sweeps can re-promote without editing this file; a
+        # throughput-leg failure must not discard the batch-4 metrics
+        # already measured above.
+        try:
+            nb_tp = int(os.environ.get("BENCH_THROUGHPUT_BATCH", "16"))
+            hint_tp = jnp.zeros((nb_tp, 1024, 1024, 3))
+            # chunked: the one-shot encoder overflows HBM at compile time
+            # by batch 64 (bit-identical; one-time precompute)
+            feats_tp = cn.hint_features_chunked(params, hint_tp)
+            sampler_tp = make_ddpm_sampler(
+                lambda p, x, t, f: fwd(p, x, t, hint_features=f),
+                sched, (nb_tp, 32, 32, 4), record_every=STEPS,
+                compute_dtype=jnp.bfloat16,
+            )
+            jax.block_until_ready(sampler_tp(params, jax.random.PRNGKey(1), feats_tp)[0])
+            t0 = time.time()
+            x0, _ = sampler_tp(params, jax.random.PRNGKey(2), feats_tp)
+            jax.block_until_ready(x0)
+            dt_tp = time.time() - t0
+            out["ldm_controlnet_throughput_batch"] = nb_tp
+            out["ldm_controlnet_throughput_samples_per_sec_chip"] = round(nb_tp / dt_tp, 4)
+            if nb_tp == 8:  # legacy key, kept when the legacy batch is requested
+                out["ldm_controlnet_b8_samples_per_sec_chip"] = round(nb_tp / dt_tp, 4)
+        except Exception as e:  # pragma: no cover
+            print(f"# north-star throughput leg unavailable: {e}", file=sys.stderr)
         return out
     except Exception as e:  # pragma: no cover
         print(f"# north-star bench unavailable: {e}", file=sys.stderr)

@@ -139,7 +139,14 @@ def save_checkpoint_background(ckpt_dir: str, name: str, step: int, tree: Any) -
     leaves, treedef = jax.tree.flatten(tree)
     idx = [i for i, x in enumerate(leaves) if isinstance(x, jax.Array)]
     if idx:
-        copies = _snapshot_arrays([leaves[i] for i in idx])
+        try:
+            copies = _snapshot_arrays([leaves[i] for i in idx])
+        except ValueError:
+            # Leaves committed to incompatible device sets (e.g. two states
+            # on different meshes saved as one tree) cannot share one jitted
+            # program — copy per leaf instead (each jnp.copy compile is
+            # cached per (shape, dtype), so only the first such save pays).
+            copies = [jnp.copy(leaves[i]) for i in idx]
         for i, c in zip(idx, copies):
             leaves[i] = c
     snap = jax.tree.unflatten(treedef, leaves)

@@ -165,11 +165,15 @@ def test_pallas_fallback_warns_once_and_counts(monkeypatch):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 3e-5), (jnp.bfloat16, 0.03)])
 @pytest.mark.parametrize("b,heads,l,c", [(2, 2, 49, 16), (1, 4, 64, 32)])
-def test_fused_projection_attention_matches_composed(b, heads, l, c):
+def test_fused_projection_attention_matches_composed(b, heads, l, c, dtype, atol):
     """The fused qkv-projection + attention + out-projection kernel
     (round 4) vs the composed reference: project, attend (XLA path),
-    project back."""
+    project back.  The bf16 case exercises the narrow-dtype memory policy
+    (weights/bias/qkv/out slices resident in x.dtype — the variant that
+    fits scoped VMEM on v5e); reference math runs in f32 with a bf16-level
+    tolerance."""
     from controlnet_tpu.ops.pallas_attention import fused_attention_proj
 
     ks = jax.random.split(jax.random.PRNGKey(0), 6)
@@ -190,8 +194,11 @@ def test_fused_projection_attention_matches_composed(b, heads, l, c):
     attn = attn.transpose(0, 2, 1, 3).reshape(b, l, c)
     ref = attn @ wo + bo
 
-    out = fused_attention_proj(x, wqkv, bqkv, wo, bo, heads, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+    out = fused_attention_proj(x.astype(dtype), wqkv, bqkv, wo, bo, heads,
+                               interpret=True)
+    assert out.dtype == dtype
+    np.testing.assert_allclose(np.asarray(out.astype(jnp.float32)),
+                               np.asarray(ref), atol=atol)
 
 
 def test_fused_proj_footprint_guard():
