@@ -39,13 +39,14 @@ LDM_MP = dict(hint_channels=3, down_channels=[256, 384, 512, 768],
 sched = make_linear_schedule(STEPS, 0.0015, 0.0195, ldm_scheduler=True)
 cn = ControlNet(4, LDM_MP, model_locked=True, down_sample_factor=32)
 params = cn.init(jax.random.PRNGKey(0))
-hint_fn = jax.jit(cn.hint_features)
 
 results = []
 for nb in BATCHES:
     try:
         hint = jnp.zeros((nb, 1024, 1024, 3))
-        feats = hint_fn(params, hint)
+        # chunked: the one-shot encoder compile-OOMs HBM at b64
+        # (docs/artifacts/tpu_batch_sweep_r4.json); bit-identical
+        feats = cn.hint_features_chunked(params, hint)
         jax.block_until_ready(feats)
         del hint
         sampler = make_ddpm_sampler(

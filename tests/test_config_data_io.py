@@ -204,3 +204,25 @@ def test_cifar_download_short_circuits_on_existing(tmp_path):
     (batches / "data_batch_1").write_bytes(b"x")
     out = download_cifar(str(tmp_path), url="http://invalid.invalid/nope")
     assert out == str(batches)
+
+
+def test_checkpoint_background_save_mixed_device_assignments(tmp_path):
+    """Leaves committed to different single-device assignments cannot share
+    one jitted snapshot program — the per-leaf fallback (round 4) must kick
+    in and still produce a correct checkpoint."""
+    from controlnet_tpu.io.checkpoint import (
+        save_checkpoint_background, wait_for_checkpoints)
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    tree = {"a": jax.device_put(jnp.arange(4.0), devs[0]),
+            "b": jax.device_put(jnp.ones((2, 2)), devs[1]),
+            "step": 3}
+    ckpt_dir = str(tmp_path / "task")
+    save_checkpoint_background(ckpt_dir, "model.pth", 3, tree)
+    wait_for_checkpoints()
+    restored, step = restore_checkpoint(ckpt_dir, "model.pth", tree)
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(4.0))
+    np.testing.assert_array_equal(np.asarray(restored["b"]), np.ones((2, 2)))
