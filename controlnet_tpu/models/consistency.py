@@ -170,13 +170,18 @@ class ConsistencyDistilled:
 
     # ------------------------------------------------------------------
     def consistency_training_loss(self, p: Params, x0, hint, sigma_1, sigma_2, key,
-                                  compute_dtype=None):
+                                  compute_dtype=None, noise=None):
         """EMA target at the smaller sigma vs student at the larger, shared
         noise (:260-293).  ``compute_dtype`` runs the two network passes in
-        reduced precision; noising and the MSE reduction stay f32."""
+        reduced precision; noising and the MSE reduction stay f32.
+
+        ``noise`` overrides the keyed draw with an explicit N(0,1) tensor —
+        used by deterministic-replay harnesses (shared-RNG cross-stack
+        controls) that must feed both frameworks identical draws."""
         s1 = jnp.minimum(sigma_1, sigma_2)
         s2 = jnp.maximum(sigma_1, sigma_2)
-        noise = jax.random.normal(key, x0.shape, x0.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, x0.shape, x0.dtype)
         cd = compute_dtype or x0.dtype
         x_s1 = (x0 + s1.reshape(-1, 1, 1, 1) * noise).astype(cd)
         x_s2 = (x0 + s2.reshape(-1, 1, 1, 1) * noise).astype(cd)
@@ -187,10 +192,13 @@ class ConsistencyDistilled:
 
     def distillation_loss(self, p: Params, x0, hint, sigma, key, alpha: float = 0.5,
                           epoch: int | None = None, total_epochs: int | None = None,
-                          compute_dtype=None):
+                          compute_dtype=None, noise=None):
         """alpha*MSE(student, x0) + (1-alpha)*MSE(student, teacher), with the
-        progressive alpha ramp (:295-330). Returns (total, recon, distill)."""
-        noise = jax.random.normal(key, x0.shape, x0.dtype)
+        progressive alpha ramp (:295-330). Returns (total, recon, distill).
+
+        ``noise`` overrides the keyed draw (see consistency_training_loss)."""
+        if noise is None:
+            noise = jax.random.normal(key, x0.shape, x0.dtype)
         cd = compute_dtype or x0.dtype
         x_t = (x0 + sigma.reshape(-1, 1, 1, 1) * noise).astype(cd)
         hint_c = hint.astype(cd)

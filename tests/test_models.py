@@ -192,6 +192,30 @@ def test_consistency_ema_update(tiny_model_config):
         np.testing.assert_allclose(np.asarray(leaf), 0.005, atol=1e-5)
 
 
+def test_consistency_losses_injected_noise(tiny_model_config):
+    """Passing ``noise=`` explicitly reproduces the keyed draw exactly and
+    overrides the key — the contract the shared-RNG replay harness
+    (scripts/fidelity_sharedrng.py) relies on."""
+    model = ConsistencyDistilled(1, tiny_model_config, use_ddpm_teacher=True)
+    p = model.init(jax.random.PRNGKey(0))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    hint = jnp.zeros((2, 8, 8, 3))
+    sigma = jnp.array([0.5, 3.0])
+    key = jax.random.PRNGKey(7)
+    drawn = jax.random.normal(key, x0.shape, x0.dtype)
+
+    keyed = model.distillation_loss(p, x0, hint, sigma, key)
+    injected = model.distillation_loss(p, x0, hint, sigma, jax.random.PRNGKey(999),
+                                       noise=drawn)
+    for a, b in zip(keyed, injected):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    keyed_c = model.consistency_training_loss(p, x0, hint, sigma, sigma + 1.0, key)
+    injected_c = model.consistency_training_loss(
+        p, x0, hint, sigma, sigma + 1.0, jax.random.PRNGKey(999), noise=drawn)
+    np.testing.assert_allclose(np.asarray(keyed_c), np.asarray(injected_c), rtol=1e-6)
+
+
 def test_dmd_student_and_losses(tiny_model_config):
     student = DistributionMatchingControlNet(1, tiny_model_config)
     sp = student.init(jax.random.PRNGKey(0))
