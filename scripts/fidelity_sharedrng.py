@@ -305,13 +305,22 @@ def stage_ours_train():
     identical teacher (round-tripped through the exported state_dict),
     identical streams via the ``noise=`` injection hook.
 
-    Runs on the CPU backend for the tightest f32 comparison with the torch
+    Default backend is CPU for the tightest f32 comparison with the torch
     CPU side (invoke with ``PYTHONPATH= JAX_PLATFORMS=cpu`` — the axon
-    sitecustomize imports jax before this setdefault takes effect)."""
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    sitecustomize imports jax before a setdefault here could take effect).
+    Set SHAREDRNG_BACKEND=tpu (bare python, serialized with other TPU
+    jobs) to run the identical replay on the real chip instead: outputs
+    gain a ``_tpu`` suffix and stage_eval adds rows quantifying the
+    deployment hardware's end-to-end training numerics vs torch CPU f32."""
+    backend = os.environ.get("SHAREDRNG_BACKEND", "cpu")
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        assert jax.default_backend() == backend, (
+            f"wanted {backend}, got {jax.default_backend()}")
+    suffix = "" if backend == "cpu" else f"_{backend}"
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -359,11 +368,11 @@ def stage_ours_train():
         if step % 16 == 0:
             print(f"ours step {step}/{TOTAL_STEPS} loss {float(total):.6f}", flush=True)
 
-    with open(os.path.join(WS, "ours_losses.json"), "w") as f:
+    with open(os.path.join(WS, f"ours_losses{suffix}.json"), "w") as f:
         json.dump(losses, f)
     # export the final student in torch-key space for the param-distance leg
     sd = export_distilled_student(jax.tree.map(np.asarray, p["student"]), model.student)
-    np.savez(os.path.join(WS, "ours_student_final.npz"),
+    np.savez(os.path.join(WS, f"ours_student_final{suffix}.npz"),
              **{k: np.asarray(v) for k, v in sd.items()})
 
     s = np.load(STREAMS_NPZ)
@@ -375,8 +384,8 @@ def stage_ours_train():
         sigma = jnp.full((x_T.shape[0],), SIGMA_MAX, jnp.float32)
         x0 = sample(p["student"], x_T, sigma, test["hints"][b0:b0 + BATCH])
         outs.append((np.clip(np.asarray(x0), -1, 1) + 1) / 2)
-    _save_pngs(np.concatenate(outs), os.path.join(WS, "ours_sr_samples"))
-    print("our shared-RNG student trained + sampled")
+    _save_pngs(np.concatenate(outs), os.path.join(WS, f"ours_sr_samples{suffix}"))
+    print(f"our shared-RNG student trained + sampled ({backend})")
 
 
 def _save_pngs(arr01, out_dir: str):
@@ -444,6 +453,30 @@ def stage_eval():
     moved = sum(float(np.sum((ref_sd[k] - init_sd[k]) ** 2)) for k in keys)
     rows["param_rel_l2_ours_vs_ref"] = float(np.sqrt(num / den))
     rows["param_divergence_over_training_movement"] = float(np.sqrt(num / moved))
+
+    # Optional TPU-backend replay (SHAREDRNG_BACKEND=tpu run of ours_train):
+    # the same streams trained on the real chip, quantifying the deployment
+    # hardware's end-to-end training numerics against torch CPU f32.
+    tpu_losses = os.path.join(WS, "ours_losses_tpu.json")
+    if os.path.exists(tpu_losses):
+        tl = np.array(json.load(open(tpu_losses)))
+        dt = np.abs(ref_l - tl)
+        rows["tpu_loss_step0_absdiff"] = float(dt[0])
+        rows["tpu_loss_final_step_absdiff"] = float(dt[-1])
+        rows["tpu_loss_mean_reldiff"] = float(
+            np.mean(dt / np.maximum(np.abs(ref_l), 1e-8)))
+        tpu_sd = dict(np.load(os.path.join(WS, "ours_student_final_tpu.npz")))
+        num_t = sum(float(np.sum((tpu_sd[k].astype("float64") - ref_sd[k]) ** 2))
+                    for k in keys)
+        rows["tpu_param_rel_l2_vs_ref"] = float(np.sqrt(num_t / den))
+        rows["tpu_param_divergence_over_training_movement"] = float(
+            np.sqrt(num_t / moved))
+        tpu_imgs = load_images(os.path.join(WS, "ours_sr_samples_tpu"), 1)
+        rows["tpu_pixel_mae_vs_ref"] = float(np.mean(np.abs(tpu_imgs - ref)))
+        rows["ffd_sr_tpu_vs_ref"] = evaluate(tpu_imgs, ref, 1)["ffd"]
+        rows["ffd_sr_tpu_below_floors"] = bool(
+            rows["ffd_sr_tpu_vs_ref"] < min(rows["ffd_sr_noise_floor_ref_halves"],
+                                            rows["ffd_sr_noise_floor_ours_halves"]))
 
     out = os.path.join(RESULTS_DIR, "fidelity_cd_sharedrng_results.json")
     os.makedirs(RESULTS_DIR, exist_ok=True)
