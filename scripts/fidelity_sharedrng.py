@@ -60,14 +60,18 @@ sys.path.insert(0, REPO)
 WS = os.environ.get("SHAREDRNG_WS", os.path.join(REPO, "fidelity_ws_sr"))
 RESULTS_DIR = os.path.join(REPO, "fidelity_ws")
 
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(f"SHAREDRNG_{name}", default))
+
+
 IM_SIZE = 16
-PER_CLASS = 256          # 4 classes -> 1024 train images, 16 steps/epoch
-TEST_PER_CLASS = 128     # 4 classes -> 512 held-out hints
-N_SAMPLES = 512
-BATCH = 64
-DDPM_EPOCHS = 12         # teacher chain protocol == scripts/fidelity_parity.py
-CN_EPOCHS = 6
-CD_EPOCHS = 8
+PER_CLASS = _env_int("PER_CLASS", 256)      # 4 classes -> 1024 train images
+TEST_PER_CLASS = _env_int("TEST_PER_CLASS", 128)
+N_SAMPLES = _env_int("N_SAMPLES", 512)
+BATCH = _env_int("BATCH", 64)
+DDPM_EPOCHS = _env_int("DDPM_EPOCHS", 12)   # teacher protocol == fidelity_parity.py
+CN_EPOCHS = _env_int("CN_EPOCHS", 6)
+CD_EPOCHS = _env_int("CD_EPOCHS", 8)
 LR = 1e-4
 SIGMA_MIN, SIGMA_MAX = 0.002, 80.0
 SEED_STREAM = 77
