@@ -104,6 +104,13 @@ CONFIG = {
     },
 }
 
+assert (4 * PER_CLASS) % BATCH == 0, \
+    f"BATCH={BATCH} must divide the {4 * PER_CLASS}-image train set " \
+    "(iterate_batches drops the trailing partial batch, which would " \
+    "desync the stream permutations from the materialized arrays)"
+assert N_SAMPLES <= 4 * TEST_PER_CLASS, \
+    f"N_SAMPLES={N_SAMPLES} exceeds the {4 * TEST_PER_CLASS}-image test set"
+
 STEPS_PER_EPOCH = 4 * PER_CLASS // BATCH
 TOTAL_STEPS = CD_EPOCHS * STEPS_PER_EPOCH
 
@@ -355,12 +362,10 @@ def stage_ours_train():
             return total, (recon, dist)
 
         (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p["student"])
-        new_ema = jax.tree.map(lambda e, s: model.ema_decay * e + (1 - model.ema_decay) * s,
-                               p["ema_teacher"], p["student"])
-        updates, opt_state = tx.update(grads, opt_state, p["student"])
-        new_student = optax.apply_updates(p["student"], updates)
-        return ({**p, "student": new_student, "ema_teacher": new_ema},
-                opt_state, total)
+        p2 = model.update_ema(p)  # pre-step student, reference order
+        updates, opt_state = tx.update(grads, opt_state, p2["student"])
+        new_student = optax.apply_updates(p2["student"], updates)
+        return {**p2, "student": new_student}, opt_state, total
 
     data = np.load(ARRAYS_NPZ)
     losses = []
@@ -404,6 +409,9 @@ def _save_pngs(arr01, out_dir: str):
 
 def stage_eval():
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # sitecustomize-proof (see ours_train)
     import numpy as np
     import torch
 
@@ -417,14 +425,16 @@ def stage_eval():
 
     rows: dict = {"n_samples": int(min(len(ref), len(ours))),
                   "cd_epochs": CD_EPOCHS, "total_steps": TOTAL_STEPS}
-    rows["ffd_sr_ours_vs_ref"] = evaluate(ours, ref, 1)["ffd"]
+    # cross comparison is PAIRED (row i of both sets comes from the same
+    # x_T + hint), so the bootstrap must resample shared indices
     h = len(ref) // 2
-    rows["ffd_sr_noise_floor_ref_halves"] = evaluate(ref[:h], ref[h:], 1)["ffd"]
-    rows["ffd_sr_noise_floor_ours_halves"] = evaluate(ours[:h], ours[h:], 1)["ffd"]
-    cross = ffd_with_ci(ours, ref, 1)
+    cross = ffd_with_ci(ours, ref, 1, paired=True)
     fl_r = ffd_with_ci(ref[:h], ref[h:], 1)
     fl_o = ffd_with_ci(ours[:h], ours[h:], 1)
-    rows["ffd_sr_ours_vs_ref_ci95"] = [cross["ffd_ci_lo"], cross["ffd_ci_hi"]]
+    rows["ffd_sr_ours_vs_ref"] = cross["ffd"]
+    rows["ffd_sr_noise_floor_ref_halves"] = fl_r["ffd"]
+    rows["ffd_sr_noise_floor_ours_halves"] = fl_o["ffd"]
+    rows["ffd_sr_ours_vs_ref_ci95_paired"] = [cross["ffd_ci_lo"], cross["ffd_ci_hi"]]
     rows["ffd_sr_noise_floor_ref_ci95"] = [fl_r["ffd_ci_lo"], fl_r["ffd_ci_hi"]]
     rows["ffd_sr_noise_floor_ours_ci95"] = [fl_o["ffd_ci_lo"], fl_o["ffd_ci_hi"]]
     rows["ffd_sr_below_floors"] = bool(
@@ -477,7 +487,10 @@ def stage_eval():
             np.sqrt(num_t / moved))
         tpu_imgs = load_images(os.path.join(WS, "ours_sr_samples_tpu"), 1)
         rows["tpu_pixel_mae_vs_ref"] = float(np.mean(np.abs(tpu_imgs - ref)))
-        rows["ffd_sr_tpu_vs_ref"] = evaluate(tpu_imgs, ref, 1)["ffd"]
+        tpu_cross = ffd_with_ci(tpu_imgs, ref, 1, paired=True)
+        rows["ffd_sr_tpu_vs_ref"] = tpu_cross["ffd"]
+        rows["ffd_sr_tpu_vs_ref_ci95_paired"] = [tpu_cross["ffd_ci_lo"],
+                                                 tpu_cross["ffd_ci_hi"]]
         rows["ffd_sr_tpu_below_floors"] = bool(
             rows["ffd_sr_tpu_vs_ref"] < min(rows["ffd_sr_noise_floor_ref_halves"],
                                             rows["ffd_sr_noise_floor_ours_halves"]))

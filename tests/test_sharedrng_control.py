@@ -37,6 +37,7 @@ TINY_ENV = {
 
 def _run(stage: str, ws: str):
     env = dict(os.environ, SHAREDRNG_WS=ws, **TINY_ENV,
+               SHAREDRNG_BACKEND="cpu",  # shield from a leftover =tpu in the shell
                PYTHONPATH="", JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_cpu_parallel_codegen_split_count=1")
     r = subprocess.run([sys.executable, SCRIPT, stage], env=env,

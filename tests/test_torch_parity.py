@@ -368,3 +368,16 @@ def test_eval_metrics_cli(tmp_path):
     assert ci["ffd_ci_lo"] <= ci["ffd_ci_hi"]
     ci2 = em.ffd_with_ci(a, b, 1, seed=0, n_boot=20)
     assert ci == ci2
+
+    # paired bootstrap (shared indices): for two IDENTICAL paired sets every
+    # resample compares a set with itself, so the CI must stay at the ~0
+    # point estimate — independent resampling destroys the pairing and
+    # reports the (large, n=8) unpaired estimator noise instead
+    a2 = a.copy()
+    pci = em.ffd_with_ci(a, a2, 1, seed=0, n_boot=20, paired=True)
+    assert pci["paired"] and pci["ffd"] < 1e-3
+    assert pci["ffd_ci_hi"] < 1e-3
+    uci = em.ffd_with_ci(a, a2, 1, seed=0, n_boot=20, paired=False)
+    assert uci["ffd_ci_hi"] > 1.0  # unpaired CI inflates
+    with pytest.raises(ValueError):
+        em.ffd_with_ci(a, a2[:4], 1, paired=True)

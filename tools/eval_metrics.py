@@ -82,26 +82,34 @@ def feature_stats(fe: FeatureExtractor, params, images: np.ndarray, batch: int =
 
 
 def ffd_with_ci(images_a: np.ndarray, images_b: np.ndarray, im_channels: int,
-                seed: int = 0, n_boot: int = 100):
+                seed: int = 0, n_boot: int = 100, paired: bool = False):
     """FFD point estimate + percentile-bootstrap 95% CI (VERDICT r3 #5).
 
     Features are extracted once; each bootstrap draw resamples image rows
     with replacement on BOTH sides and recomputes the Fréchet distance
-    from the resampled (mu, cov)."""
+    from the resampled (mu, cov).
+
+    ``paired=True`` uses SHARED bootstrap indices on both sides — required
+    when row i of ``images_a`` corresponds to row i of ``images_b`` (e.g.
+    the shared-RNG control, where both sets come from the same x_T/hint):
+    independent resampling would destroy the pairing and report unpaired
+    estimator noise instead of the paired distance's uncertainty."""
     fe = FeatureExtractor(in_channels=im_channels)
     fe_params = fe.init(jax.random.PRNGKey(seed))
     fa = extract_features(fe, fe_params, images_a)
     fb = extract_features(fe, fe_params, images_b)
+    if paired and len(fa) != len(fb):
+        raise ValueError(f"paired=True needs equal sizes, got {len(fa)}/{len(fb)}")
     point = frechet_distance(*_stats(fa), *_stats(fb))
     rng = np.random.default_rng(seed)
     vals = []
     for _ in range(n_boot):
         ia = rng.integers(0, len(fa), len(fa))
-        ib = rng.integers(0, len(fb), len(fb))
+        ib = ia if paired else rng.integers(0, len(fb), len(fb))
         vals.append(frechet_distance(*_stats(fa[ia]), *_stats(fb[ib])))
     lo, hi = np.percentile(vals, [2.5, 97.5])
     return {"ffd": float(point), "ffd_ci_lo": float(lo), "ffd_ci_hi": float(hi),
-            "n_boot": n_boot}
+            "n_boot": n_boot, "paired": paired}
 
 
 def evaluate(images_a: np.ndarray, images_b: np.ndarray, im_channels: int, seed: int = 0):
