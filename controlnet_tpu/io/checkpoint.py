@@ -18,6 +18,7 @@ from __future__ import annotations
 import atexit
 import os
 import re
+import sys
 import threading
 from typing import Any
 
@@ -66,9 +67,11 @@ def wait_for_checkpoints() -> None:
     for c in _CKPTRS.values():
         c.wait_until_finished()
     if _BG_ERRORS:
-        err = _BG_ERRORS[:]
+        errs = _BG_ERRORS[:]
         _BG_ERRORS.clear()
-        raise RuntimeError(f"background checkpoint save failed: {err[0]!r}") from err[0]
+        raise RuntimeError(
+            f"{len(errs)} background checkpoint save(s) failed: "
+            + "; ".join(repr(e) for e in errs)) from errs[0]
 
 
 def _ckpt_root(ckpt_dir: str, name: str) -> str:
@@ -159,7 +162,12 @@ def save_checkpoint_background(ckpt_dir: str, name: str, step: int, tree: Any) -
                 prev.join()
             host = jax.device_get(snap)  # D2H streams while training runs
             ckptr.save(path, host, force=True)
-        except BaseException as e:  # surfaced by wait_for_checkpoints
+        except BaseException as e:
+            # Log NOW (an abnormal exit may never reach the trainer's final
+            # wait_for_checkpoints, and the error must not die with it),
+            # then queue for wait_for_checkpoints to re-raise.
+            print(f"[checkpoint] background save of {path} FAILED: {e!r}",
+                  file=sys.stderr, flush=True)
             _BG_ERRORS.append(e)
 
     t = threading.Thread(target=work, name=f"ckpt-bg-{os.path.basename(root)}",

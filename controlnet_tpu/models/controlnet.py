@@ -52,6 +52,11 @@ def _fixed_hint_block(hint_channels: int, c0: int) -> Sequential:
 def _dynamic_hint_block(hint_channels: int, c0: int, down_sample_factor: int) -> Sequential:
     """LDM hint encoder (controlnet_ldm.py:45-79): stride-2 stages until the
     hint resolution matches the latent resolution."""
+    if down_sample_factor < 1 or down_sample_factor & (down_sample_factor - 1):
+        raise ValueError(
+            f"down_sample_factor must be a power of two, got {down_sample_factor} "
+            "(each hint-encoder stage downsamples by exactly 2; a non-power-of-two "
+            "factor would leave the hint features misaligned with the latents)")
     steps: list = [Conv2d(hint_channels, 16, 3), "silu"]
     base = 16
     factor = down_sample_factor
@@ -99,7 +104,7 @@ class ControlNet:
             control = {
                 k: copy.deepcopy(v)
                 for k, v in trained.items()
-                if k not in ("ups", "norm_out", "conv_out")
+                if k not in self._DECODER_KEYS
             }
         else:
             trained = self.unet.init(k1)

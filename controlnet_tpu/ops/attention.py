@@ -39,6 +39,11 @@ def _use_pallas() -> bool:
     if os.environ.get("CONTROLNET_TPU_DISABLE_PALLAS"):
         return False
     if _tp_model_axis > 1:
+        # Process-global: a replicated model built AFTER tp_shard_params in
+        # the same process also lands here (counted below — visible through
+        # fallback_count()/utils.profiling); call set_tp_model_axis(1) when
+        # switching back to non-TP models.
+        _fallback_counts["tp_disabled"] += 1
         return False
     return jax.default_backend() == "tpu"
 
@@ -47,7 +52,7 @@ def _use_pallas() -> bool:
 # ~2x slower XLA path would invalidate every perf number in BASELINE.md, so
 # the first failure per call-site is logged and every failure is counted
 # (VERDICT r3 weak #4).  ``fallback_count()`` is the profiling hook.
-_fallback_counts = {"mha": 0, "mha_t": 0}
+_fallback_counts = {"mha": 0, "mha_t": 0, "tp_disabled": 0}
 _fallback_warned: set = set()
 
 
@@ -158,13 +163,6 @@ def _fits_vmem_t(lq: int, lk: int, dh: int, budget_bytes: int = 64 * 1024 * 1024
 def _fits_vmem(qh: jax.Array, kh: jax.Array, budget_bytes: int = 64 * 1024 * 1024) -> bool:
     """One (batch, head) slice must fit VMEM: transposed q/k/v/out blocks
     (head_dim on sublanes) plus the (Lq, Lk) score matrix and its exp
-    intermediate, all float32."""
-
-    def rup(x, m=128):
-        return ((x + m - 1) // m) * m
-
-    lq, lk = rup(qh.shape[2]), rup(kh.shape[2])
-    d = ((qh.shape[3] + 15) // 16) * 16  # sublane padding only
-    blocks = (2 * lq + 2 * lk) * d * 4  # q_t, k_t, v_t, out_t
-    scores = 2 * lq * lk * 4  # scores + softmax intermediate
-    return blocks + scores < budget_bytes
+    intermediate, all float32.  Same estimate as the mha_t path — delegate
+    so the two dispatch thresholds cannot drift."""
+    return _fits_vmem_t(qh.shape[2], kh.shape[2], qh.shape[3], budget_bytes)

@@ -137,7 +137,12 @@ def tp_shard_params(params: Any, mesh: Mesh) -> Any:
     Also declares the model-axis size to ``ops.attention`` so attention
     dispatch stays on the XLA path (GSPMD-partitionable einsums) instead of
     an unpartitionable ``pallas_call`` — with TP active the kernel would be
-    silently all-gathered and run replicated."""
+    silently all-gathered and run replicated.
+
+    The declaration is process-global: a NON-TP model used later in the
+    same process keeps the XLA path unless ``set_tp_model_axis(1)`` is
+    called (such dispatches are counted in
+    ``ops.attention.fallback_count()["tp_disabled"]``)."""
     from controlnet_tpu.ops.attention import set_tp_model_axis
 
     set_tp_model_axis(mesh.shape["model"])

@@ -221,6 +221,14 @@ def test_serve_distilled_model_concurrent_load(ws):
         with urllib.request.urlopen(req, timeout=300) as r:
             assert r.status == 200
 
+        # a parameter merely ENDING in 'steps' must not be misread as the
+        # steps argument (exact-name query parsing): nsteps=10000 would be
+        # a 400 if substring-matched, but is ignored and runs steps=1
+        req = urllib.request.Request(f"{base}/generate?nsteps=10000", data=payload,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+
         # malformed bodies and bad query params -> 400, server stays up
         bad_requests = [
             (f"{base}/generate_batch", b"junk"),           # undecodable npz
@@ -241,3 +249,19 @@ def test_serve_distilled_model_concurrent_load(ws):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serve_bucket_respects_cap():
+    """_bucket must never exceed max_batch: a non-power-of-two cap gets
+    itself as the final bucket, not the next power of two above it (which
+    would silently exceed the operator's memory cap)."""
+    from tools.serve import _bucket
+
+    assert _bucket(1, 8) == 1
+    assert _bucket(3, 8) == 4
+    assert _bucket(8, 8) == 8
+    assert _bucket(9, 12) == 12   # not 16
+    assert _bucket(8, 12) == 8
+    assert _bucket(12, 12) == 12
+    assert _bucket(5, 5) == 5
+    assert all(_bucket(b, 12) <= 12 for b in range(1, 13))

@@ -98,11 +98,15 @@ def build_generator(args, config):
 
 
 def _bucket(b: int, max_batch: int) -> int:
-    """Next power-of-two >= b, capped at max_batch (static-shape bucketing)."""
+    """Next power-of-two >= b, capped at max_batch (static-shape bucketing).
+
+    The cap is exact: with a non-power-of-two ``max_batch`` the final bucket
+    is max_batch itself (never the next power of two above it) — the
+    operator's memory cap must not be silently exceeded."""
     n = 1
-    while n < b and n < max_batch:
+    while n < b and n * 2 <= max_batch:
         n *= 2
-    return n
+    return n if n >= b else max_batch
 
 
 def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
@@ -115,14 +119,17 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
     max_steps = getattr(args, "max_steps", 8)
 
     if warm:
-        # AOT warmup: compile every batch bucket before serving.
-        b = 1
-        while True:
+        # AOT warmup: compile every batch bucket before serving (powers of
+        # two up to max_batch, plus max_batch itself when it isn't one).
+        buckets, b = [], 1
+        while b <= max_batch:
+            buckets.append(b)
+            b *= 2
+        if buckets[-1] != max_batch:
+            buckets.append(max_batch)
+        for b in buckets:
             warm_hint = jnp.zeros((b, im_size, im_size, hint_channels))
             jax.block_until_ready(gen(warm_hint, jax.random.PRNGKey(0), 1))
-            if b >= max_batch:
-                break
-            b *= 2
 
     device_lock = threading.Lock()
     key_state = {"key": jax.random.PRNGKey(args.seed)}
@@ -158,7 +165,7 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
         def do_GET(self):
             if self.path.startswith("/healthz"):
                 body = json.dumps({"status": "ok", "model": args.model,
-                                   "warm": True, "max_batch": max_batch,
+                                   "warm": warm, "max_batch": max_batch,
                                    "max_steps": max_steps}).encode()
                 self._reply(200, body, "application/json")
             else:
@@ -168,10 +175,15 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
             # steps is a jit static argument: any new value compiles a new
             # program while holding the device lock, so unparseable or
             # out-of-range values are a 400, not a recompile (ADVICE r3).
+            # Parsed from the query string by exact name — substring matching
+            # would misread e.g. ?num_steps=4.
+            from urllib.parse import parse_qs, urlparse
+
             steps = 1
-            if "steps=" in self.path:
+            qs = parse_qs(urlparse(self.path).query)
+            if "steps" in qs:
                 try:
-                    steps = int(self.path.split("steps=")[1].split("&")[0])
+                    steps = int(qs["steps"][-1])
                 except ValueError:
                     self._reply(400, b"steps must be an integer", "text/plain")
                     return
