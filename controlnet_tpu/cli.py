@@ -162,17 +162,25 @@ def put_replicated(tree, mesh):
 
 
 class EpochTimer:
+    """Per-epoch loss/time accumulator.
+
+    ``add`` keeps the DEVICE scalar — converting per step (``float(loss)``)
+    would block dispatch of step N+1 on step N's D2H transfer, serializing
+    the async pipeline on every step; the sync happens once in ``summary``
+    at epoch end."""
+
     def __init__(self):
         self.t0 = time.time()
-        self.losses: list[float] = []
+        self.losses: list = []
 
     def add(self, loss) -> None:
-        self.losses.append(float(loss))
+        self.losses.append(loss)
 
     def summary(self) -> str:
         dt = time.time() - self.t0
-        mean = float(np.mean(self.losses)) if self.losses else float("nan")
-        return f"mean loss {mean:.4f} | {len(self.losses)} steps | {dt:.1f}s"
+        losses = [float(x) for x in self.losses]  # one sync point
+        mean = float(np.mean(losses)) if losses else float("nan")
+        return f"mean loss {mean:.4f} | {len(losses)} steps | {dt:.1f}s"
 
 
 def should_save_epoch(epoch_idx: int, num_epochs: int, every: int) -> bool:

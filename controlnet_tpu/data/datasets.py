@@ -176,6 +176,8 @@ class CifarDataset:
         rgb_u8 = np.asarray(Image.open(self.images[index]).convert("RGB"))
         im = _to_unit(rgb_u8)
         if self.return_hints:
+            if cv2 is None:  # same guard as _canny_hint, before cvtColor
+                raise RuntimeError("opencv is required for return_hints=True")
             gray = cv2.cvtColor(rgb_u8, cv2.COLOR_RGB2GRAY)
             return im, _canny_hint(gray)
         return im
@@ -233,26 +235,29 @@ class CelebDataset:
     def __len__(self) -> int:
         return len(self.images)
 
-    def _load_hint(self, path: str) -> np.ndarray:
+    def _load_hint(self, img: Image.Image) -> np.ndarray:
         # Canny on the raw RGB array (per-channel gradients), matching the
         # reference's hint distribution (celeb_dataset.py:148-152) — NOT on a
         # grayscale conversion like MNIST/CIFAR.
-        img = _resize_center_crop(Image.open(path).convert("RGB"), self.canny_im_size)
+        img = _resize_center_crop(img.convert("RGB"), self.canny_im_size)
         return _canny_hint(np.asarray(img))
 
     def __getitem__(self, index: int):
         path = self._paths[index]
+        src = None  # the file is decoded at most ONCE; PIL caches the
+        # raster after the first convert, so pixel + hint share it
         if self.use_latents:
             item = self.latent_maps[self.images[index]].astype(np.float32)
         else:
+            src = Image.open(path)
             mode = "RGB" if self.im_channels == 3 else "L"
-            img = _resize_center_crop(Image.open(path).convert(mode), self.im_size)
+            img = _resize_center_crop(src.convert(mode), self.im_size)
             arr = np.asarray(img)
             if arr.ndim == 2:
                 arr = arr[..., None]
             item = _to_unit(arr)
         if self.return_hint:
-            return item, self._load_hint(path)
+            return item, self._load_hint(src if src is not None else Image.open(path))
         return item
 
 

@@ -205,6 +205,7 @@ class UNet:
         return self._block(self.mids[i])(p["mids"][i], out, t_emb, context)
 
     def decode(self, p: Params, out: jax.Array, down_outs: list, t_emb, context=None) -> jax.Array:
+        down_outs = list(down_outs)  # consume a copy (decode_tl contract)
         for blk, bp in zip(self.ups, p["ups"]):
             skip = down_outs.pop()
             out = self._block(blk)(bp, out, skip, t_emb, context)

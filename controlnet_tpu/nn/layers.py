@@ -319,9 +319,15 @@ class MultiheadAttention:
     def init(self, key: jax.Array) -> Params:
         d = self.embed_dim
         kq, kk, kv, ko = jax.random.split(key, 4)
-        # torch uses xavier_uniform for in_proj; bound = sqrt(6/(fan_in+fan_out))
-        bq = math.sqrt(6.0 / (d + d))
-        bkv = math.sqrt(6.0 / (self.kv_dim + d))
+        # torch init parity: with kdim == embed_dim (every reference block),
+        # nn.MultiheadAttention xavier-inits the PACKED (3E, E) in_proj_weight
+        # -> fan_in=E, fan_out=3E -> bound sqrt(6/(4E)) for q, k, AND v; only
+        # the kdim != embed_dim path xavier-inits per-matrix.
+        if self.kv_dim == d:
+            bq = bkv = math.sqrt(6.0 / (4 * d))
+        else:
+            bq = math.sqrt(6.0 / (d + d))
+            bkv = math.sqrt(6.0 / (self.kv_dim + d))
         bo = 1.0 / math.sqrt(d)
         return {
             "wq": _uniform(kq, (d, d), bq),
@@ -353,6 +359,7 @@ class MultiheadAttention:
                 fused_attention_proj, fused_proj_fits)
 
             if (_use_fused_proj()
+                    and d // self.num_heads % 8 == 0  # kernel sublane precondition
                     and fused_proj_fits(q_in.shape[1], q_in.shape[2], d,
                                         dt.itemsize)):
                 # whole-layer fused kernel (projections + attention in one
@@ -499,5 +506,10 @@ class Sequential:
             else:
                 x = s.tl(sp, x, (h, w))
                 if getattr(s, "stride", 1) == 2:
-                    h, w = h // 2, w // 2
+                    # Conv2d stride 2 halves the grid; ConvTranspose2d
+                    # stride 2 doubles it (its tl() quadruples L).
+                    if isinstance(s, ConvTranspose2d):
+                        h, w = h * 2, w * 2
+                    else:
+                        h, w = h // 2, w // 2
         return x, (h, w)

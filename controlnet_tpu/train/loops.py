@@ -216,6 +216,11 @@ def make_consistency_train_step(
       -> (state, ema, metrics).  ``teacher`` is the frozen ControlNet tree
     (pass an empty dict when mode == consistency_only)."""
 
+    if mode not in ("ddpm_distillation", "consistency_only", "manual"):
+        raise ValueError(
+            f"unknown consistency training mode {mode!r}; expected "
+            "'ddpm_distillation', 'consistency_only', or 'manual'")
+
     T = model.num_timesteps
 
     def step(state: TrainState, ema, teacher, x0, hint, key, epoch):
