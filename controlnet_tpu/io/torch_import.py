@@ -172,6 +172,12 @@ def _sequential_convs(sd: Mapping, prefix: str, seq) -> Params:
         for k in sd
         if (m := pat.match(k))
     )
+    n_model = sum(1 for s in seq.steps if not isinstance(s, str))
+    if len(conv_prefixes) != n_model:
+        raise ValueError(
+            f"hint-block conv count mismatch under {prefix!r}: checkpoint has "
+            f"{len(conv_prefixes)} convs, model expects {n_model} — the "
+            "checkpoint was likely trained with a different down_sample_factor")
     convs = iter(pref for _, pref in conv_prefixes)
     params = []
     for step in seq.steps:

@@ -79,6 +79,8 @@ class VAE:
         self.decoder_conv_out = Conv2d(dc[0], im_channels, 3)
 
     def init(self, key: jax.Array) -> Params:
+        # 8 fixed consumers (conv_in/out, norm_out, pre/post_quant x2 sides)
+        # plus one per block — the count documents the consumer list below
         n = (
             4
             + len(self.encoder_layers)
@@ -86,7 +88,6 @@ class VAE:
             + 4
             + len(self.decoder_mids)
             + len(self.decoder_layers)
-            + 2
         )
         ks = list(jax.random.split(key, n))
         return {

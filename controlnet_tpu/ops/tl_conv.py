@@ -146,6 +146,9 @@ def _strided_conv_tl(w_hwio: Array, bias: Array | None, x: Array,
     h, w = hw
     h2, w2 = h // 2, w // 2
     c, b, _ = x.shape
+    assert c == cin, (
+        f"channel mismatch: x has {c} channels, kernel expects {cin} "
+        "(the s2d group slices would silently read wrong channels)")
     l2 = h2 * w2
     g = _space_to_depth_tl(x, hw).reshape(4 * cin, b * l2)
     pad = w2 + 1

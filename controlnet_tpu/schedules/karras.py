@@ -29,6 +29,10 @@ def karras_sigmas(num_steps: int, sigma_min: float, sigma_max: float, rho: float
     (consistency_controlnet_distilled.py:179-196).  Note the reference
     interpolates from sigma_min^(1/rho) to sigma_max^(1/rho) (ascending).
     """
+    if num_steps < 2:
+        raise ValueError(
+            f"karras_sigmas needs num_steps >= 2, got {num_steps} "
+            "(the 0/0 interpolation would yield a silent NaN ladder)")
     steps = jnp.arange(num_steps, dtype=jnp.float32)
     lo = sigma_min ** (1.0 / rho)
     hi = sigma_max ** (1.0 / rho)
