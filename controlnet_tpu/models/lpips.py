@@ -52,7 +52,7 @@ class LPIPS:
             stage = []
             for _ in range(n_convs):
                 key, k = jax.random.split(key)
-                std = math.sqrt(2.0 / (out_ch * 9))
+                std = math.sqrt(2.0 / (in_ch * 9))  # Kaiming fan-in = C_in*k*k
                 stage.append({
                     "w": jax.random.normal(k, (3, 3, in_ch, out_ch), jnp.float32) * std,
                     "b": jnp.zeros((out_ch,), jnp.float32),
@@ -125,14 +125,6 @@ def load_torch_weights(params: Params, path: str) -> tuple[Params, bool]:
     params = jax.tree.map(lambda x: x, params)  # shallow copy
     found_vgg = False
 
-    # lin heads
-    for k in range(5):
-        for key in (f"lin{k}.model.1.weight", f"lins.{k}.model.1.weight"):
-            if key in sd:
-                w = sd[key].numpy()  # (1, C, 1, 1) OIHW
-                params["lins"][k] = {"w": jnp.asarray(w.transpose(2, 3, 1, 0))}
-                break
-
     # full VGG features, torchvision layer indices within slices
     slice_layout = {1: [0, 2], 2: [5, 7], 3: [10, 12, 14], 4: [17, 19, 21], 5: [24, 26, 28]}
     for s, idxs in slice_layout.items():
@@ -146,6 +138,25 @@ def load_torch_weights(params: Params, path: str) -> tuple[Params, bool]:
                     "w": jnp.asarray(w),
                     "b": jnp.asarray(sd[bkey].numpy()),
                 }
+
+    # lin heads — applied ONLY alongside the VGG features they were trained
+    # on: pretrained per-channel weightings over random Kaiming channels are
+    # channel-by-channel nonsense (worse than the uniform fallback)
+    lins = {}
+    for k in range(5):
+        for key in (f"lin{k}.model.1.weight", f"lins.{k}.model.1.weight"):
+            if key in sd:
+                w = sd[key].numpy()  # (1, C, 1, 1) OIHW
+                lins[k] = {"w": jnp.asarray(w.transpose(2, 3, 1, 0))}
+                break
+    if lins and found_vgg:
+        for k, v in lins.items():
+            params["lins"][k] = v
+    elif lins:
+        print(f"LPIPS: {path} carries lin heads but no VGG features — "
+              "ignoring them (pretrained weightings are only meaningful over "
+              "the matching pretrained channels); keeping the uniform "
+              "random-feature fallback")
     return params, found_vgg
 
 

@@ -27,7 +27,7 @@ from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.vae import VAE
 
 
-def load_vae_params(task_name: str, train_config: dict, vae: VAE, im_channels: int = 3):
+def load_vae_params(task_name: str, train_config: dict):
     """Restore VAE params from a train_vae checkpoint ({"g","d"} tree)."""
     from controlnet_tpu.io.checkpoint import restore_checkpoint_raw
 
@@ -49,12 +49,15 @@ def infer(args):
     im_channels = dataset_config["im_channels"]
 
     vae = VAE(im_channels, autoencoder_config)
-    params = load_vae_params(task_name, train_config, vae, im_channels)
+    params = load_vae_params(task_name, train_config)
     dataset = cli.build_dataset("celebhq", dataset_config, "train", return_hints=False)
 
     # ----- reconstruction grid (infer_vae.py:67-86) -----
     num_images = train_config["num_samples"]
-    ngrid = train_config["num_grid_rows"]
+    if len(dataset) == 0:
+        raise cfg.ConfigError(
+            f"no images under {dataset_config['im_path']} "
+            "(celebhq expects a flat <im_path>/*.png|jpg directory)")
     rng = random.Random(args.seed)
     idxs = [rng.randint(0, len(dataset) - 1) for _ in range(num_images)]
     ims = np.stack([dataset[i] for i in idxs])

@@ -48,7 +48,7 @@ def sample(args):
     cn = ControlNet(z, ldm_config, model_locked=True, down_sample_factor=down_sample_factor)
     params = load_controlnet_params(task_name, train_config["controlnet_ckpt_name"], cn)
     vae = VAE(dataset_config["im_channels"], autoencoder_config)
-    vae_params = load_vae_params(task_name, train_config, vae, dataset_config["im_channels"])
+    vae_params = load_vae_params(task_name, train_config)
 
     dataset = CelebDataset(
         "test", im_path=dataset_config["im_path"], im_size=dataset_config["im_size"],

@@ -58,7 +58,7 @@ def sample(args):
     unet = UNet(z, ldm_config)
     unet_params = load_ldm_params(task_name, train_config["ldm_ckpt_name"], unet)
     vae = VAE(dataset_config["im_channels"], autoencoder_config)
-    vae_params = load_vae_params(task_name, train_config, vae, dataset_config["im_channels"])
+    vae_params = load_vae_params(task_name, train_config)
 
     num_samples = args.num_samples or train_config["num_samples"]
     nrow = train_config["num_grid_rows"]

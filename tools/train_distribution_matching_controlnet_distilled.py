@@ -12,6 +12,7 @@ tracking, metric history + matplotlib training-curve dump.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 from collections import defaultdict
 
@@ -77,6 +78,11 @@ def train(args):
 
     train_ds = cli.build_dataset(task_name, dataset_config, "train", return_hints=True)
     val_ds = cli.build_dataset(task_name, dataset_config, "test", return_hints=True)
+    if len(val_ds) == 0:
+        raise cfg.ConfigError(
+            f"no validation images under {dataset_config.get('im_test_path')} — "
+            "DMD training validates (and tracks the best model) on the test "
+            "split every epoch")
 
     model = DistributionMatchingDistilled(im_channels, model_config,
                                           num_timesteps=diffusion_config["num_timesteps"])
@@ -135,7 +141,15 @@ def train(args):
         return x0_student, x0_teacher
 
     history: dict[str, list[float]] = defaultdict(list)
+    # best-val survives resumes via a sidecar (the checkpoint tree format is
+    # unchanged) — otherwise the first post-resume epoch always overwrites
+    # the best checkpoint, even with a worse model
+    best_val_path = os.path.join(task_name, "dmd_best_val.json")
     best_val = float("inf")
+    if start_epoch > 0 and os.path.exists(best_val_path):
+        with open(best_val_path) as f:
+            best_val = float(json.load(f)["best_val"])
+        print(f"Resumed best val {best_val:.4f}")
     sample_dir = os.path.join(task_name, "dmd_training_samples")
 
     for epoch_idx in range(start_epoch, num_epochs):
@@ -196,6 +210,8 @@ def train(args):
             best_val = val_mean
             save_checkpoint_background(task_name, BEST_CKPT_NAME, epoch_idx + 1,
                                        {"state": state})
+            with open(best_val_path, "w") as f:
+                json.dump({"best_val": best_val, "epoch": epoch_idx + 1}, f)
             print(f"New best model (val {best_val:.4f})")
 
     plot_training_curves(history, os.path.join(task_name, "dmd_training_curves.png"))

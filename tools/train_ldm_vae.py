@@ -98,7 +98,7 @@ def train(args):
         from tools.infer_vae import load_vae_params
 
         vae = VAE(dataset_config["im_channels"], autoencoder_config)
-        vae_params = load_vae_params(task_name, train_config, vae, dataset_config["im_channels"])
+        vae_params = load_vae_params(task_name, train_config)
         encode_fn = jax.jit(lambda p, x, k: vae.encode(p, x, k)[0])
 
     mesh = cli.mesh_or_none()

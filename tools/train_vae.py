@@ -117,7 +117,12 @@ def train(args):
 
     image_save_steps = train_config["autoencoder_img_save_steps"]
     img_save_count = 0
-    step_count = start_epoch * (len(dataset) // train_config["autoencoder_batch_size"])
+    # steps/epoch as iterate_batches actually yields them: trailing partial
+    # batches are dropped, but a dataset smaller than the batch still yields
+    # ONE short batch — max(1, ...) keeps the disc_start phase boundary
+    # stable across resumes on tiny smoke datasets too.
+    steps_per_epoch = max(1, len(dataset) // train_config["autoencoder_batch_size"])
+    step_count = start_epoch * steps_per_epoch
     num_epochs = train_config["autoencoder_epochs"]
     for epoch_idx in range(start_epoch, num_epochs):
         metrics_acc: dict[str, list[float]] = {}
