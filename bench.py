@@ -143,8 +143,25 @@ def bench_north_star() -> dict | None:
             dt_tp = time.time() - t0
             out["ldm_controlnet_throughput_batch"] = nb_tp
             out["ldm_controlnet_throughput_samples_per_sec_chip"] = round(nb_tp / dt_tp, 4)
-            if nb_tp == 8:  # legacy key, kept when the legacy batch is requested
+            if nb_tp == 8:
                 out["ldm_controlnet_b8_samples_per_sec_chip"] = round(nb_tp / dt_tp, 4)
+            else:
+                # the b8 key has been the stable cross-round comparison point
+                # since round 3 — keep emitting it even after the throughput
+                # leg moved to batch 16 (ADVICE r4), so historical BENCH_r*
+                # comparisons never see the key vanish
+                hint_8 = jnp.zeros((8, 1024, 1024, 3))
+                feats_8 = cn.hint_features_chunked(params, hint_8)
+                sampler_8 = make_ddpm_sampler(
+                    lambda p, x, t, f: fwd(p, x, t, hint_features=f),
+                    sched, (8, 32, 32, 4), record_every=STEPS,
+                    compute_dtype=jnp.bfloat16,
+                )
+                jax.block_until_ready(sampler_8(params, jax.random.PRNGKey(1), feats_8)[0])
+                t0 = time.time()
+                x0, _ = sampler_8(params, jax.random.PRNGKey(2), feats_8)
+                jax.block_until_ready(x0)
+                out["ldm_controlnet_b8_samples_per_sec_chip"] = round(8 / (time.time() - t0), 4)
         except Exception as e:  # pragma: no cover
             print(f"# north-star throughput leg unavailable: {e}", file=sys.stderr)
         return out

@@ -113,11 +113,19 @@ class LPIPS:
         return val
 
 
-def load_torch_weights(params: Params, path: str) -> tuple[Params, bool]:
-    """Import torch LPIPS weights.  Returns (params, found_vgg).
+def load_torch_weights(params: Params, path: str,
+                       have_vgg: bool = False) -> tuple[Params, bool]:
+    """Import torch LPIPS weights.  Returns (params, vgg_pretrained).
 
     Accepts the richzhang lin-only ``vgg.pth`` (keys ``lin{k}.model.1.weight``)
     and/or a full dump including VGG features (keys ``net.slice{s}.{i}.weight``).
+
+    ``have_vgg``: pass the previous call's second return value when layering
+    files — e.g. a full torchvision VGG dump first, then the lin-only
+    ``vgg.pth`` on top.  Lin heads are only meaningful over the pretrained
+    channels they were trained on, so they are applied iff this file OR a
+    previous load provided the VGG features.  The returned flag is
+    cumulative: True once ``params`` holds pretrained VGG features.
     """
     import torch
 
@@ -149,7 +157,7 @@ def load_torch_weights(params: Params, path: str) -> tuple[Params, bool]:
                 w = sd[key].numpy()  # (1, C, 1, 1) OIHW
                 lins[k] = {"w": jnp.asarray(w.transpose(2, 3, 1, 0))}
                 break
-    if lins and found_vgg:
+    if lins and (found_vgg or have_vgg):
         for k, v in lins.items():
             params["lins"][k] = v
     elif lins:
@@ -157,7 +165,7 @@ def load_torch_weights(params: Params, path: str) -> tuple[Params, bool]:
               "ignoring them (pretrained weightings are only meaningful over "
               "the matching pretrained channels); keeping the uniform "
               "random-feature fallback")
-    return params, found_vgg
+    return params, found_vgg or have_vgg
 
 
 def default_weights_path() -> str:

@@ -205,8 +205,9 @@ class DownBlock:
         """Dual-trunk forward: resnets/downsample run per trunk (grouped
         convs lost the round-2 A/B — forward_fused docstring), but each
         layer's two self-attention cores batch into ONE kernel call."""
-        assert not self.cross_attn, \
-            "pair() has no cross-attention path; use __call__ for cross_attn blocks"
+        if self.cross_attn:  # not assert: must survive python -O
+            raise NotImplementedError(
+                "pair() has no cross-attention path; use __call__ for cross_attn blocks")
         oa, ob = xa, xb
         for i in range(self.num_layers):
             oa = self.resnets[i](p_a["resnets"][i], oa, ta)
@@ -291,8 +292,9 @@ class MidBlock:
              ) -> tuple[jax.Array, jax.Array]:
         """Dual-trunk mid forward — per-trunk resnets, batched attention
         cores (see DownBlock.pair)."""
-        assert not self.cross_attn, \
-            "pair() has no cross-attention path; use __call__ for cross_attn blocks"
+        if self.cross_attn:  # not assert: must survive python -O
+            raise NotImplementedError(
+                "pair() has no cross-attention path; use __call__ for cross_attn blocks")
         oa = self.resnets[0](p_a["resnets"][0], xa, ta)
         ob = self.resnets[0](p_b["resnets"][0], xb, tb)
         for i in range(self.num_layers):

@@ -210,6 +210,11 @@ def train(args):
             best_val = val_mean
             save_checkpoint_background(task_name, BEST_CKPT_NAME, epoch_idx + 1,
                                        {"state": state})
+            # confirm the save committed BEFORE recording the new best: a
+            # sidecar written over a failed background save would make a
+            # resume skip re-saving a genuinely better model (ADVICE r4).
+            # New-best epochs are rare, so the bounded stall is acceptable.
+            wait_for_checkpoints()
             with open(best_val_path, "w") as f:
                 json.dump({"best_val": best_val, "epoch": epoch_idx + 1}, f)
             print(f"New best model (val {best_val:.4f})")
