@@ -18,6 +18,7 @@ from __future__ import annotations
 import atexit
 import os
 import re
+import shutil
 import sys
 import threading
 from typing import Any
@@ -79,8 +80,34 @@ def _ckpt_root(ckpt_dir: str, name: str) -> str:
     return os.path.abspath(os.path.join(ckpt_dir, name))
 
 
+def prune_checkpoints(ckpt_dir: str, name: str, max_to_keep: int | None) -> list[int]:
+    """Delete all but the newest ``max_to_keep`` step directories under
+    <ckpt_dir>/<name>.  Returns the pruned step numbers.
+
+    Retention is per checkpoint NAME (= per root), so best-model
+    checkpoints saved under their own name (e.g. the DMD trainer's
+    ``dmd_best``) are never displaced by the rolling latest-step policy —
+    that root keeps its own newest ``max_to_keep`` bests.
+
+    ``max_to_keep`` of None or <= 0 keeps everything (pre-round-5
+    behavior).  Callers must ensure no in-flight write targets the pruned
+    steps; the save functions below only prune after their own write has
+    committed, and orbax serializes writes within a root, so the surviving
+    (newest) steps are always the complete ones.
+    """
+    root = _ckpt_root(ckpt_dir, name)
+    if max_to_keep is None or max_to_keep <= 0 or not os.path.isdir(root):
+        return []
+    steps = sorted(int(d) for d in os.listdir(root) if re.fullmatch(r"\d+", d)
+                   and os.path.isdir(os.path.join(root, d)))
+    pruned = steps[:-max_to_keep]
+    for s in pruned:
+        shutil.rmtree(os.path.join(root, str(s)), ignore_errors=True)
+    return pruned
+
+
 def save_checkpoint(ckpt_dir: str, name: str, step: int, tree: Any,
-                    block: bool = True) -> str:
+                    block: bool = True, max_to_keep: int | None = None) -> str:
     """Save a pytree at <ckpt_dir>/<name>/<step>. Returns the path.
 
     ``block=False`` returns as soon as the host snapshot is taken and lets
@@ -88,14 +115,23 @@ def save_checkpoint(ckpt_dir: str, name: str, step: int, tree: Any,
     keeps training through the save (orbax serializes overlapping saves
     internally).  Call :func:`wait_for_checkpoints` (or let process exit do
     it) before reading the checkpoint back.
+
+    ``max_to_keep`` bounds disk usage by pruning older steps of THIS name
+    after the save commits (the reference overwrote a single file,
+    tools/train_ddpm.py:96 — here retention is a policy instead).  With
+    ``block=False`` pruning must still wait for the write, making the call
+    blocking; prefer :func:`save_checkpoint_background`, which prunes on
+    its worker thread.
     """
     root = _ckpt_root(ckpt_dir, name)
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, str(step))
     ckptr = _checkpointer(root)
     ckptr.save(path, tree, force=True)
-    if block:
+    if block or max_to_keep:
         ckptr.wait_until_finished()
+    if max_to_keep and jax.process_index() == 0:
+        prune_checkpoints(ckpt_dir, name, max_to_keep)
     return path
 
 
@@ -106,7 +142,8 @@ def _snapshot_arrays(xs: list) -> list:
     return [jnp.copy(x) for x in xs]
 
 
-def save_checkpoint_background(ckpt_dir: str, name: str, step: int, tree: Any) -> str:
+def save_checkpoint_background(ckpt_dir: str, name: str, step: int, tree: Any,
+                               max_to_keep: int | None = None) -> str:
     """Save with the device->host snapshot ALSO off the training thread.
 
     ``save_checkpoint(block=False)`` already overlaps the disk write, but
@@ -129,7 +166,8 @@ def save_checkpoint_background(ckpt_dir: str, name: str, step: int, tree: Any) -
         # Multi-host arrays are not fully addressable from one process, so
         # the worker's device_get would fail; use orbax's own multi-host
         # async path instead (D2H blocking, write overlapped).
-        return save_checkpoint(ckpt_dir, name, step, tree, block=False)
+        return save_checkpoint(ckpt_dir, name, step, tree, block=False,
+                               max_to_keep=max_to_keep)
     root = _ckpt_root(ckpt_dir, name)
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, str(step))
@@ -162,6 +200,13 @@ def save_checkpoint_background(ckpt_dir: str, name: str, step: int, tree: Any) -
                 prev.join()
             host = jax.device_get(snap)  # D2H streams while training runs
             ckptr.save(path, host, force=True)
+            if max_to_keep:
+                # prune only after THIS write committed (orbax serializes
+                # writes within a root, so everything newer than the pruned
+                # steps is on disk and complete) — the wait runs on this
+                # worker thread, never stalling training
+                ckptr.wait_until_finished()
+                prune_checkpoints(ckpt_dir, name, max_to_keep)
         except BaseException as e:
             # Log NOW (an abnormal exit may never reach the trainer's final
             # wait_for_checkpoints, and the error must not die with it),

@@ -303,6 +303,118 @@ def test_lpips_basic_properties():
     assert float(jnp.mean(d_diff)) > 0
 
 
+def _synthetic_lpips_sd(seed=0, vgg=True, lins=True, lins_prefix="lin"):
+    """Synthetic torch state dict in the richzhang/reference key layout
+    (reference models/lpips.py:92-116: ``net.slice{s}.{torchvision_idx}.*``
+    VGG features, ``lin{k}.model.1.weight`` heads)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+    if vgg:
+        layout = {1: [0, 2], 2: [5, 7], 3: [10, 12, 14], 4: [17, 19, 21], 5: [24, 26, 28]}
+        plan = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+        in_ch = 3
+        for s, (out_ch, n) in enumerate(plan, start=1):
+            for idx in layout[s][:n]:
+                sd[f"net.slice{s}.{idx}.weight"] = torch.randn((out_ch, in_ch, 3, 3), generator=g)
+                sd[f"net.slice{s}.{idx}.bias"] = torch.randn((out_ch,), generator=g)
+                in_ch = out_ch
+    if lins:
+        for k, c in enumerate([64, 128, 256, 512, 512]):
+            sd[f"{lins_prefix}{k}.model.1.weight"] = torch.rand((1, c, 1, 1), generator=g)
+    return sd
+
+
+def test_lpips_import_full_dump(tmp_path):
+    """A full LPIPS dump (VGG features + lin heads) imports with OIHW->HWIO
+    conversion and applies both (VERDICT r4 next #3: the one-file-drop path
+    exercised with a synthetic state dict)."""
+    import torch
+
+    from controlnet_tpu.models.lpips import load_torch_weights
+
+    sd = _synthetic_lpips_sd()
+    path = str(tmp_path / "full.pth")
+    torch.save(sd, path)
+    lp = LPIPS()
+    p0 = lp.init(jax.random.PRNGKey(0))
+    p, found = load_torch_weights(p0, path)
+    assert found is True
+    np.testing.assert_array_equal(
+        np.asarray(p["vgg"][0][0]["w"]),
+        sd["net.slice1.0.weight"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(p["vgg"][4][2]["b"]), sd["net.slice5.28.bias"].numpy())
+    np.testing.assert_array_equal(
+        np.asarray(p["lins"][2]["w"]),
+        sd["lin2.model.1.weight"].numpy().transpose(2, 3, 1, 0))
+    # imported params must still drive the metric
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3), minval=-1, maxval=1)
+    d = lp(p, x, jnp.clip(x + 0.3, -1, 1))
+    assert d.shape == (1, 1, 1, 1) and bool(jnp.isfinite(d).all())
+
+
+def test_lpips_import_lin_only_falls_back(tmp_path, capsys):
+    """The richzhang vgg.pth carries ONLY lin heads; over random features
+    they are channel-wise nonsense, so the import must warn and keep the
+    uniform fallback (round-4 review fix, now pinned)."""
+    import torch
+
+    from controlnet_tpu.models.lpips import load_torch_weights
+
+    path = str(tmp_path / "vgg.pth")
+    torch.save(_synthetic_lpips_sd(vgg=False), path)
+    lp = LPIPS()
+    p0 = lp.init(jax.random.PRNGKey(0))
+    p, found = load_torch_weights(p0, path)
+    assert found is False
+    for k in range(5):
+        np.testing.assert_array_equal(np.asarray(p["lins"][k]["w"]),
+                                      np.asarray(p0["lins"][k]["w"]))
+    assert "ignoring them" in capsys.readouterr().out
+
+
+def test_lpips_import_layered_lin_over_vgg(tmp_path):
+    """ADVICE r4: a full VGG dump first, then the lin-only vgg.pth layered
+    on top — the second call must apply the lins because ``have_vgg``
+    carries the cumulative pretrained state."""
+    import torch
+
+    from controlnet_tpu.models.lpips import load_torch_weights
+
+    vgg_path = str(tmp_path / "vgg_only.pth")
+    lin_path = str(tmp_path / "lins_only.pth")
+    torch.save(_synthetic_lpips_sd(lins=False), vgg_path)
+    lin_sd = _synthetic_lpips_sd(seed=7, vgg=False, lins_prefix="lins.")  # alt "lins.{k}" key form
+    torch.save(lin_sd, lin_path)
+    lp = LPIPS()
+    p, found = load_torch_weights(lp.init(jax.random.PRNGKey(0)), vgg_path)
+    assert found is True
+    p, found = load_torch_weights(p, lin_path, have_vgg=found)
+    assert found is True
+    np.testing.assert_array_equal(
+        np.asarray(p["lins"][3]["w"]),
+        lin_sd["lins.3.model.1.weight"].numpy().transpose(2, 3, 1, 0))
+
+
+def test_lpips_import_wrong_layout_is_noop(tmp_path):
+    """A state dict with an unrecognized key layout imports as a no-op
+    (params unchanged, found_vgg False) instead of crashing."""
+    import torch
+
+    from controlnet_tpu.models.lpips import load_torch_weights
+
+    path = str(tmp_path / "junk.pth")
+    torch.save({"encoder.block0.weight": torch.randn(4, 4)}, path)
+    lp = LPIPS()
+    p0 = lp.init(jax.random.PRNGKey(0))
+    p, found = load_torch_weights(p0, path)
+    assert found is False
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_remat_matches_baseline(tiny_model_config):
     """remat=True recomputes activations but must not change values or
     gradients."""

@@ -115,7 +115,8 @@ def train(args):
         print(f"Epoch {epoch_idx + 1} | {timer.summary()}")
         if cli.should_save_epoch(epoch_idx, num_epochs, train_config.get("ckpt_save_every_epochs", 1)):
             save_checkpoint_background(task_name, CKPT_NAME, epoch_idx + 1,
-                                       {"state": state, "ema": ema})
+                                       {"state": state, "ema": ema},
+                                       max_to_keep=cli.ckpt_max_to_keep(train_config))
     wait_for_checkpoints()
     print("Distillation training completed!")
 

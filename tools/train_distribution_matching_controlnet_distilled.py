@@ -204,12 +204,15 @@ def train(args):
                 sample_dir, f"epoch_{epoch_idx + 1:03d}_comparison.png"), nrow=x0.shape[0])
 
         # ---- checkpoints incl. best-model tracking (:260-274) ----
+        keep = cli.ckpt_max_to_keep(train_config)
         save_checkpoint_background(task_name, CKPT_NAME, epoch_idx + 1,
-                                   {"state": state})
+                                   {"state": state}, max_to_keep=keep)
         if val_mean < best_val:
             best_val = val_mean
+            # best lives under its OWN name/root: the rolling policy there
+            # keeps the newest `keep` bests, never displaced by latest saves
             save_checkpoint_background(task_name, BEST_CKPT_NAME, epoch_idx + 1,
-                                       {"state": state})
+                                       {"state": state}, max_to_keep=keep)
             # confirm the save committed BEFORE recording the new best: a
             # sidecar written over a failed background save would make a
             # resume skip re-saving a genuinely better model (ADVICE r4).

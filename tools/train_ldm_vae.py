@@ -122,7 +122,8 @@ def train(args):
             timer.add(loss)
         print(f"Finished epoch:{epoch_idx + 1} | {timer.summary()}")
         if cli.should_save_epoch(epoch_idx, num_epochs, train_config.get("ckpt_save_every_epochs", 1)):
-            save_checkpoint_background(task_name, ckpt_name, epoch_idx + 1, state)
+            save_checkpoint_background(task_name, ckpt_name, epoch_idx + 1, state,
+                                       max_to_keep=cli.ckpt_max_to_keep(train_config))
     wait_for_checkpoints()
     print("Done Training ...")
 

@@ -157,9 +157,11 @@ def train(args):
         else:
             print("Finished epoch: {} | Recon Loss : {:.4f} | Perceptual Loss : {:.4f}".format(
                 epoch_idx + 1, means["recon_loss"], means["perceptual_loss"]))
+        keep = cli.ckpt_max_to_keep(train_config)
         save_checkpoint_background(task_name, vae_ckpt, epoch_idx + 1,
-                                   {"g": g_state, "d": d_state})
-        save_checkpoint_background(task_name, disc_ckpt, epoch_idx + 1, d_state)
+                                   {"g": g_state, "d": d_state}, max_to_keep=keep)
+        save_checkpoint_background(task_name, disc_ckpt, epoch_idx + 1, d_state,
+                                   max_to_keep=keep)
     wait_for_checkpoints()
     print("Done Training...")
 
