@@ -27,6 +27,10 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_cpu_parallel_codegen_split_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 
+# Batch 64 is the measured per-chip throughput optimum for this pipeline:
+# the round-5 sweep over 16..512 (docs/artifacts/tpu_mnist_batch_sweep_r5.json)
+# is unimodal with the peak at 64 (14.48 samples/s/chip; 48 -> 14.18,
+# 128 -> 13.68, 512 -> 10.47), so the headline batch needs no throughput leg.
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 STEPS = int(os.environ.get("BENCH_STEPS", "1000"))
 

@@ -14,6 +14,8 @@ from typing import Any, Mapping
 
 import yaml
 
+from controlnet_tpu import tuning
+
 
 class ConfigError(ValueError):
     """Raised when a config file fails schema validation."""
@@ -31,6 +33,13 @@ def load_config(path: str) -> dict:
         config = yaml.safe_load(f)
     if not isinstance(config, dict):
         raise ConfigError(f"config file {path} did not parse to a mapping")
+    # Additive `tpu_params` section: perf/feature knobs (controlnet_tpu.tuning).
+    # Applying here makes the YAML file the authoritative knob surface for
+    # every tool; env vars still override (see tuning.py precedence).
+    try:
+        tuning.apply_config(config)
+    except ValueError as e:
+        raise ConfigError(f"invalid tpu_params in {path}: {e}") from e
     return config
 
 

@@ -161,12 +161,10 @@ class ControlNet:
         NHWC — 16 GB of HBM padding at training batch 16, a hard OOM on a
         16 GB v5e chip.  TL keeps them pad-free (ops/tl_conv.py).  Numerics
         match the NHWC path to float tolerance (tests/test_tl_parity.py)."""
-        import os
-
+        from controlnet_tpu import tuning
         from controlnet_tpu.ops import tl_conv
 
-        if (self.down_sample_factor is not None
-                and os.environ.get("CONTROLNET_TPU_TL_HINT", "1") != "0"):
+        if self.down_sample_factor is not None and tuning.get("tl_hint"):
             out, out_hw = self.hint_block.tl(
                 p["hint_block"], tl_conv.to_tl(hint), hint.shape[1:3])
             return tl_conv.from_tl(out, out_hw)

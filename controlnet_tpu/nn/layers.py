@@ -31,10 +31,11 @@ def _use_fused_proj() -> bool:
     """Opt-in dispatch for the whole-layer fused attention kernel
     (projections + attention in one pallas_call, forward-only).  TPU-only,
     self-attention only, and off under TP sharding for the same GSPMD
-    reason as the core kernel (ops/attention.py)."""
-    import os
+    reason as the core kernel (ops/attention.py).  Knob: tuning
+    ``attn_fused_proj`` (YAML tpu_params / CONTROLNET_TPU_ATTN_FUSED_PROJ)."""
+    from controlnet_tpu import tuning
 
-    if os.environ.get("CONTROLNET_TPU_ATTN_FUSED_PROJ") != "1":
+    if not tuning.get("attn_fused_proj"):
         return False
     from controlnet_tpu.ops.attention import _use_pallas
 

@@ -10,10 +10,10 @@ matrix never round-trips to HBM.
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
+
+from controlnet_tpu import tuning
 
 
 # Tensor parallelism x Pallas: when q/k/v projections are sharded over the
@@ -36,7 +36,7 @@ def set_tp_model_axis(n: int) -> None:
 
 
 def _use_pallas() -> bool:
-    if os.environ.get("CONTROLNET_TPU_DISABLE_PALLAS"):
+    if tuning.get("disable_pallas"):
         return False
     if _tp_model_axis > 1:
         # Process-global: a replicated model built AFTER tp_shard_params in

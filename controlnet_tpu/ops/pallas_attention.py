@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os
+from controlnet_tpu import tuning
 
 
 def _round_up(x: int, m: int) -> int:
@@ -79,7 +79,7 @@ def _attn_kernel_t(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_q: int,
             v, probs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
 
-    if os.environ.get("CONTROLNET_TPU_ATTN_PIPE", "1") != "0" and group > 1:
+    if tuning.get("attn_pipe") and group > 1:
         # software-pipelined unrolled body: slice g+1's MXU scores matmul is
         # independent of slice g's VPU softmax, so the fully unrolled
         # dataflow lets the Mosaic scheduler overlap the units.
@@ -166,7 +166,7 @@ def _attn_bwd_kernel_t(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
             dk_ref[g] = dk_ref[g] + dk_c
 
     units = [(g, c) for g in range(group) for c in range(n_chunks)]
-    if os.environ.get("CONTROLNET_TPU_ATTN_PIPE", "1") != "0" and len(units) > 1:
+    if tuning.get("attn_pipe") and len(units) > 1:
         # same software pipeline as the forward: unit u+1's MXU matmuls
         # (scores, dP) overlap unit u's VPU softmax/ds work.
         prev_u, prev = units[0], _bwd_scores(*units[0])
@@ -209,8 +209,8 @@ def _unpad_t(xt, b, h, l, d):
 # 35% end-to-end model win; group=8 regresses (12.3, VMEM pressure).  So:
 # pipeline by default, cap the group at 4, and size the budget so the hot
 # shapes (L<=1024) actually reach group 4.
-_VMEM_BUDGET = int(os.environ.get("CONTROLNET_TPU_ATTN_VMEM", 24 * 1024 * 1024))
-_GROUP_CAP = int(os.environ.get("CONTROLNET_TPU_ATTN_GROUP", 4))
+# Budget/cap are knobs (tuning.attn_vmem_bytes / attn_group_cap), read at
+# trace time by _pick_group.
 
 
 def _pick_chunk(lq_p: int, lk_p: int) -> int:
@@ -228,12 +228,13 @@ def _pick_chunk(lq_p: int, lk_p: int) -> int:
 
 
 def _pick_group(bh: int, lq_p: int, lk_p: int, d_p: int, n_bufs: int) -> int:
-    """Largest divisor of bh, capped at _GROUP_CAP, whose double-buffered
-    blocks + live score matrices fit the VMEM budget."""
+    """Largest divisor of bh, capped at tuning.attn_group_cap, whose
+    double-buffered blocks + live score matrices fit the VMEM budget."""
     scores_bytes = 3 * lq_p * lk_p * 4
     per_slice = 2 * n_bufs * (lq_p + lk_p) * d_p * 4  # x2: double buffering
-    group = max(1, min(bh, _GROUP_CAP,
-                       (_VMEM_BUDGET - scores_bytes) // max(per_slice, 1)))
+    group = max(1, min(bh, tuning.get("attn_group_cap"),
+                       (tuning.get("attn_vmem_bytes") - scores_bytes)
+                       // max(per_slice, 1)))
     while bh % group != 0:
         group -= 1
     return group

@@ -30,7 +30,8 @@ from __future__ import annotations
 
 import functools
 import math
-import os
+
+from controlnet_tpu import tuning
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +39,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TAPS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
-_VMEM_BUDGET = int(os.environ.get("CONTROLNET_TPU_CONV_VMEM", 48 * 1024 * 1024))
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, xpad, cols, *,
@@ -76,7 +76,7 @@ def _plan(batch: int, l: int, cin: int, cout: int, itemsize: int):
                  + cin * (tn + 2 * (l + 1))  # xpad scratch
                  + 2 * (cin + cout) * tn  # double-buffered in/out blocks
                  + cout * 9 * cin) * itemsize
-        return total <= _VMEM_BUDGET
+        return total <= tuning.get("conv_vmem_bytes")
 
     best = None  # (waste_ratio, -g, g, l_pad)
     for g in range(1, min(batch, 64) + 1):
@@ -96,8 +96,7 @@ def pallas_conv3x3_applicable(x: jax.Array, cin: int, cout: int,
                               hw: tuple[int, int]) -> bool:
     """Kernel preconditions: TPU backend, a feasible (G, l_pad) plan, and
     tile-aligned channel counts for the dtype."""
-    if (os.environ.get("CONTROLNET_TPU_DISABLE_PALLAS")
-            or os.environ.get("CONTROLNET_TPU_DISABLE_PALLAS_CONV")):
+    if tuning.get("disable_pallas") or tuning.get("disable_pallas_conv"):
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -57,18 +57,33 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-WS = os.environ.get("SHAREDRNG_WS", os.path.join(REPO, "fidelity_ws_sr"))
-RESULTS_DIR = os.path.join(REPO, "fidelity_ws")
 
 def _env_int(name: str, default: int) -> int:
     return int(os.environ.get(f"SHAREDRNG_{name}", default))
 
 
-IM_SIZE = 16
-PER_CLASS = _env_int("PER_CLASS", 256)      # 4 classes -> 1024 train images
-TEST_PER_CLASS = _env_int("TEST_PER_CLASS", 128)
-N_SAMPLES = _env_int("N_SAMPLES", 512)
-BATCH = _env_int("BATCH", 64)
+# SHAREDRNG_FULLCFG=1 reruns the whole protocol at the REAL mnist.yaml
+# architecture (/root/reference/config/mnist.yaml:13-24 — 28x28, down
+# [32,64,128,256], mid [256,256,128], T=1000) instead of the scaled-down
+# 16x16 model, closing the last inferential gap in the fidelity story
+# (VERDICT r4 next-round #1).  The torch-CPU replay costs ~17 s/step at
+# batch 16 on this 1-core host, so the full-config run uses fewer, smaller
+# steps — the comparison is about training NUMERICS (loss trajectories,
+# param-space distance), which a few hundred steps pin down.
+FULLCFG = os.environ.get("SHAREDRNG_FULLCFG", "0") == "1"
+
+WS = os.environ.get(
+    "SHAREDRNG_WS",
+    os.path.join(REPO, "fidelity_ws_sr_full" if FULLCFG else "fidelity_ws_sr"))
+RESULTS_DIR = os.path.join(REPO, "fidelity_ws")
+RESULTS_NAME = ("fidelity_cd_sharedrng_full_results.json" if FULLCFG
+                else "fidelity_cd_sharedrng_results.json")
+
+IM_SIZE = 28 if FULLCFG else 16
+PER_CLASS = _env_int("PER_CLASS", 128 if FULLCFG else 256)
+TEST_PER_CLASS = _env_int("TEST_PER_CLASS", 64 if FULLCFG else 128)
+N_SAMPLES = _env_int("N_SAMPLES", 256 if FULLCFG else 512)
+BATCH = _env_int("BATCH", 16 if FULLCFG else 64)
 DDPM_EPOCHS = _env_int("DDPM_EPOCHS", 12)   # teacher protocol == fidelity_parity.py
 CN_EPOCHS = _env_int("CN_EPOCHS", 6)
 CD_EPOCHS = _env_int("CD_EPOCHS", 8)
@@ -77,13 +92,23 @@ SIGMA_MIN, SIGMA_MAX = 0.002, 80.0
 SEED_STREAM = 77
 SEED_INIT = 55
 
-MODEL_PARAMS = {
-    "im_channels": 1, "im_size": IM_SIZE, "hint_channels": 3,
-    "down_channels": [16, 32], "mid_channels": [32, 16],
-    "down_sample": [True], "time_emb_dim": 32,
-    "num_down_layers": 1, "num_mid_layers": 1, "num_up_layers": 1,
-    "num_heads": 4,
-}
+if FULLCFG:
+    # Exact /root/reference/config/mnist.yaml model_params (:13-24).
+    MODEL_PARAMS = {
+        "im_channels": 1, "im_size": IM_SIZE, "hint_channels": 3,
+        "down_channels": [32, 64, 128, 256], "mid_channels": [256, 256, 128],
+        "down_sample": [True, True, False], "time_emb_dim": 128,
+        "num_down_layers": 2, "num_mid_layers": 2, "num_up_layers": 2,
+        "num_heads": 4,
+    }
+else:
+    MODEL_PARAMS = {
+        "im_channels": 1, "im_size": IM_SIZE, "hint_channels": 3,
+        "down_channels": [16, 32], "mid_channels": [32, 16],
+        "down_sample": [True], "time_emb_dim": 32,
+        "num_down_layers": 1, "num_mid_layers": 1, "num_up_layers": 1,
+        "num_heads": 4,
+    }
 
 CONFIG = {
     "dataset_params": {
@@ -424,7 +449,9 @@ def stage_eval():
         for c in ("0", "1", "2", "3")])
 
     rows: dict = {"n_samples": int(min(len(ref), len(ours))),
-                  "cd_epochs": CD_EPOCHS, "total_steps": TOTAL_STEPS}
+                  "cd_epochs": CD_EPOCHS, "total_steps": TOTAL_STEPS,
+                  "batch": BATCH, "im_size": IM_SIZE, "fullcfg": FULLCFG,
+                  "model_params": MODEL_PARAMS}
     # cross comparison is PAIRED (row i of both sets comes from the same
     # x_T + hint), so the bootstrap must resample shared indices
     h = len(ref) // 2
@@ -495,7 +522,7 @@ def stage_eval():
             rows["ffd_sr_tpu_vs_ref"] < min(rows["ffd_sr_noise_floor_ref_halves"],
                                             rows["ffd_sr_noise_floor_ours_halves"]))
 
-    out = os.path.join(RESULTS_DIR, "fidelity_cd_sharedrng_results.json")
+    out = os.path.join(RESULTS_DIR, RESULTS_NAME)
     os.makedirs(RESULTS_DIR, exist_ok=True)
     with open(out, "w") as f:
         json.dump(rows, f, indent=2)

@@ -1,0 +1,167 @@
+"""A/B: per-step metric D2H sync vs device-side accumulation, on real TPU.
+
+VERDICT r4 weak #2 / next-round #4: the two heaviest trainers
+(tools/train_vae.py, tools/train_distribution_matching_...py) fetched every
+metric scalar with ``float(v)`` on every step, blocking dispatch of step
+N+1 on step N's D2H transfer.  The round-5 change accumulates the device
+scalars and fetches once per epoch.  This script MEASURES the delta on the
+deployment hardware instead of guessing (the round-4 revert was recorded
+as "unproven"):
+
+* leg "vae":  make_vae_gan_train_step at celebhq shapes (128x128x3, b4,
+  bf16, LPIPS + disc) — the exact loop tools/train_vae.py runs.
+* leg "dmd":  make_dmd_train_step at mnist.yaml shapes (28x28, b64) —
+  cheap steps, where per-step sync overhead is proportionally largest.
+
+Each leg runs interleaved windows  sync -> defer -> sync -> defer ... so
+clock drift / tunnel variance cancels; "sync" replicates the old behavior
+(float(v) per metric per step), "defer" appends device scalars and fetches
+once at window end.  Both modes end fully synced, so wall-clock per window
+is an honest end-to-end number.
+
+Usage: python scripts/tpu_metric_sync_ab.py [vae|dmd|both] [steps_per_window]
+Writes docs/artifacts/metric_sync_ab_r5.json.  TPU-only; run serialized
+(no other TPU process, no CPU-heavy background job).
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+import jax
+import jax.numpy as jnp
+import optax
+
+from controlnet_tpu import cli
+
+cli.setup_jax()
+
+LEG = sys.argv[1] if len(sys.argv) > 1 else "both"
+WINDOW = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+ROUNDS = 4  # windows per mode, interleaved
+
+
+def run_windows(step_once):
+    """step_once(i) -> metrics dict of device scalars.  Returns
+    {mode: [s_per_step per window]}."""
+    res = {"sync": [], "defer": []}
+    i = 0
+    for _ in range(ROUNDS):
+        for mode in ("sync", "defer"):
+            acc = []
+            t0 = time.time()
+            for _ in range(WINDOW):
+                m = step_once(i)
+                i += 1
+                if mode == "sync":
+                    for v in m.values():
+                        float(v)  # the old per-step D2H pattern
+                else:
+                    acc.append(m)
+            if mode == "defer":
+                jax.device_get(acc)  # one sync point, as the trainers now do
+            res[mode].append((time.time() - t0) / WINDOW)
+    return res
+
+
+def leg_vae():
+    from controlnet_tpu.models.discriminator import Discriminator
+    from controlnet_tpu.models.vae import VAE
+    from controlnet_tpu.train.loops import make_vae_gan_train_step
+    from controlnet_tpu.train.state import create_train_state
+    from tools.train_vae import build_lpips
+
+    VAE_MP = dict(z_channels=4, down_channels=[128, 256, 384], mid_channels=[384],
+                  down_sample=[True, True], attn_down=[False, False],
+                  norm_channels=32, num_heads=4, num_down_layers=2,
+                  num_mid_layers=2, num_up_layers=2)
+    B, IM = 4, 128
+    vae = VAE(3, VAE_MP)
+    disc = Discriminator(im_channels=3)
+    lp, lpips_params = build_lpips(jax.random.PRNGKey(7))
+    tx_g = optax.MultiSteps(optax.adam(1e-5, b1=0.5, b2=0.999), 2)
+    tx_d = optax.MultiSteps(optax.adam(1e-5, b1=0.5, b2=0.999), 2)
+    g_state = create_train_state(vae.init(jax.random.PRNGKey(0)), tx_g)
+    d_state = create_train_state(disc.init(jax.random.PRNGKey(1)), tx_d)
+    step_fn = make_vae_gan_train_step(
+        vae, disc, lp, tx_g, tx_d, disc_start=10, disc_weight=0.5,
+        kl_weight=5e-6, perceptual_weight=1.0, compute_dtype=jnp.bfloat16)
+    batch = jnp.clip(jax.image.resize(
+        jax.random.normal(jax.random.PRNGKey(3), (B, IM // 8, IM // 8, 3)),
+        (B, IM, IM, 3), "bilinear"), -1, 1).astype(jnp.float32)
+
+    state = {"g": g_state, "d": d_state, "i": 0}
+
+    def step_once(i):
+        key = jax.random.fold_in(jax.random.PRNGKey(42), i)
+        state["g"], state["d"], m = step_fn(
+            state["g"], state["d"], lpips_params, batch, key, jnp.int32(i + 11))
+        return m
+
+    m = step_once(0)
+    jax.block_until_ready(m["recon_loss"])  # compile outside timed windows
+    return run_windows(step_once)
+
+
+def leg_dmd():
+    from controlnet_tpu.models.dmd import DistributionMatchingDistilled
+    from controlnet_tpu.train.loops import make_dmd_train_step
+    from controlnet_tpu.train.state import create_train_state
+
+    MP = {"im_channels": 1, "im_size": 28, "hint_channels": 3,
+          "down_channels": [32, 64, 128, 256], "mid_channels": [256, 256, 128],
+          "down_sample": [True, True, False], "time_emb_dim": 128,
+          "num_down_layers": 2, "num_mid_layers": 2, "num_up_layers": 2,
+          "num_heads": 4}
+    B = 64
+    model = DistributionMatchingDistilled(1, MP, num_timesteps=1000)
+    p = model.init(jax.random.PRNGKey(0))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(5e-5, weight_decay=1e-6))
+    state = {"s": create_train_state(p["student"], tx)}
+    teacher, features = p["teacher"], p["features"]
+    step_fn = make_dmd_train_step(model, tx, compute_dtype=None)
+    x0 = jnp.clip(jax.random.normal(jax.random.PRNGKey(1), (B, 28, 28, 1)), -1, 1)
+    hint = jnp.clip(jax.random.normal(jax.random.PRNGKey(2), (B, 28, 28, 3)), 0, 1)
+
+    def step_once(i):
+        key = jax.random.fold_in(jax.random.PRNGKey(43), i)
+        state["s"], m = step_fn(state["s"], teacher, features, x0, hint, key)
+        return m
+
+    m = step_once(0)
+    jax.block_until_ready(m["total_loss"])
+    return run_windows(step_once)
+
+
+def summarize(name, res):
+    import numpy as np
+
+    sync = np.array(res["sync"]) * 1e3
+    defer = np.array(res["defer"]) * 1e3
+    return {
+        f"{name}_ms_per_step_sync": [round(x, 3) for x in sync],
+        f"{name}_ms_per_step_defer": [round(x, 3) for x in defer],
+        f"{name}_sync_mean_ms": round(float(sync.mean()), 3),
+        f"{name}_defer_mean_ms": round(float(defer.mean()), 3),
+        f"{name}_speedup_pct": round((float(sync.mean()) / float(defer.mean()) - 1) * 100, 2),
+    }
+
+
+out = {"window_steps": WINDOW, "rounds": ROUNDS,
+       "backend": jax.default_backend(), "device": str(jax.devices()[0])}
+assert jax.default_backend() == "tpu", "A/B must run on the real chip"
+if LEG in ("vae", "both"):
+    out.update(summarize("vae_celebhq_b4_128", leg_vae()))
+    print(json.dumps({k: v for k, v in out.items() if "vae" in k}), flush=True)
+if LEG in ("dmd", "both"):
+    out.update(summarize("dmd_mnist_b64", leg_dmd()))
+
+path = os.path.join(REPO, "docs", "artifacts", "metric_sync_ab_r5.json")
+with open(path, "w") as f:
+    json.dump(out, f, indent=2)
+print(json.dumps(out))
+print("wrote", path)

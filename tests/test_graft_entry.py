@@ -13,6 +13,10 @@ config-update path exercised here is identical either way — the axon-active
 variant was verified manually and is what tests/conftest.py relies on.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile/training; fast tier = -m 'not e2e and not slow'
+
 import os
 import subprocess
 import sys

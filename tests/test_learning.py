@@ -4,6 +4,10 @@ masking wiring bugs that shape tests cannot (VERDICT r2 #7).  Also the
 bf16 mixed-precision gate: training in compute_dtype=bfloat16 must learn
 the same way f32 does."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile/training; fast tier = -m 'not e2e and not slow'
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -243,6 +243,7 @@ def test_dmd_student_and_losses(tiny_model_config):
         assert np.isfinite(float(v))
 
 
+@pytest.mark.slow
 def test_dmd_distillation_loss_gradable(tiny_model_config):
     """distillation_loss returns a finite, differentiable scalar
     (reference smoke test: test_distribution_matching.py:89-105)."""
@@ -415,6 +416,7 @@ def test_lpips_import_wrong_layout_is_noop(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_remat_matches_baseline(tiny_model_config):
     """remat=True recomputes activations but must not change values or
     gradients."""
@@ -485,6 +487,7 @@ def test_controlnet_precomputed_hint_features(tiny_model_config):
     np.testing.assert_allclose(np.asarray(direct), np.asarray(hoisted), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_controlnet_paired_forward_parity(tiny_model_config):
     """forward_paired (lockstep trunks, attention cores batched into one
     kernel call — VERDICT r4) must compute the same function as __call__,
@@ -506,6 +509,7 @@ def test_controlnet_paired_forward_parity(tiny_model_config):
         assert float(jnp.abs(ref - paired).max()) < 1e-5
 
 
+@pytest.mark.slow
 def test_controlnet_paired_forward_gradients(tiny_model_config):
     """The paired forward must also differentiate like __call__ (so it could
     serve training too): grads w.r.t. the trainable split match."""
@@ -528,6 +532,7 @@ def test_controlnet_paired_forward_gradients(tiny_model_config):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_controlnet_paired_forward_bf16(tiny_model_config):
     """forward_paired under bf16 compute (the sampler A/B configuration):
     finite, right shape, and close to __call__ at the same dtype."""

@@ -120,7 +120,7 @@ def test_fused_attention_pipelined_path_matches_xla(monkeypatch):
 
     monkeypatch.setenv("CONTROLNET_TPU_ATTN_PIPE", "1")
     # force a multi-slice group for these tiny shapes
-    monkeypatch.setattr(pa, "_VMEM_BUDGET", 64 * 1024 * 1024)
+    monkeypatch.setenv("CONTROLNET_TPU_ATTN_VMEM", str(64 * 1024 * 1024))
     b, h, l, d = 2, 4, 49, 8  # bh=8 -> group > 1 under a large budget
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
     q = jax.random.normal(kq, (b, h, l, d), jnp.float32)

@@ -3,6 +3,7 @@ stacked on device (vs reference per-step host round-trips,
 sample_ddpm.py:27-42)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,6 +67,7 @@ def test_sampler_pytree_hint_with_compute_dtype(tiny_model_config):
     assert np.all(np.isfinite(np.asarray(x0)))
 
 
+@pytest.mark.slow
 def test_sampler_final_only_and_unroll_equivalence(tiny_model_config):
     """record_every == T skips the per-step trajectory buffer and unroll
     changes only scheduling — both must reproduce the step-by-step

@@ -7,6 +7,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compile/training; fast tier = -m 'not e2e and not slow'
+
 from controlnet_tpu.models.unet import UNet
 from controlnet_tpu.parallel.mesh import data_sharding, make_mesh, replicate, shard_batch
 from controlnet_tpu.schedules.linear import make_linear_schedule

@@ -8,6 +8,8 @@ import types
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.e2e  # slow tool-pipeline tier; fast tier = -m 'not e2e'
 import yaml
 from PIL import Image
 

@@ -7,6 +7,8 @@ import os
 import types
 
 import pytest
+
+pytestmark = pytest.mark.e2e  # slow tool-pipeline tier; fast tier = -m 'not e2e'
 import yaml
 
 from controlnet_tpu.data.synthetic import make_synthetic_image_tree

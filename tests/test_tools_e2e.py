@@ -8,6 +8,8 @@ import sys
 import types
 
 import pytest
+
+pytestmark = pytest.mark.e2e  # slow tool-pipeline tier; fast tier = -m 'not e2e'
 import yaml
 
 from controlnet_tpu.data.synthetic import make_synthetic_image_tree

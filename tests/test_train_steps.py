@@ -64,6 +64,7 @@ def test_controlnet_train_step_freezes_trunk(tiny_model_config):
     assert not _params_moved(frozen0, frozen)  # trunk untouched
 
 
+@pytest.mark.slow
 def test_consistency_train_step_modes(tiny_model_config):
     model = ConsistencyDistilled(1, tiny_model_config, use_ddpm_teacher=True)
     p = model.init(jax.random.PRNGKey(0))
@@ -84,6 +85,7 @@ def test_consistency_train_step_modes(tiny_model_config):
         assert _params_moved(p["ema_teacher"], ema)
 
 
+@pytest.mark.slow
 def test_dmd_train_step_and_nan_guard(tiny_model_config):
     model = DistributionMatchingDistilled(1, tiny_model_config)
     p = model.init(jax.random.PRNGKey(0))
@@ -105,6 +107,7 @@ def test_dmd_train_step_and_nan_guard(tiny_model_config):
     assert not _params_moved(p_before, state2.params)
 
 
+@pytest.mark.slow
 def test_vae_gan_train_step_disc_gating(tiny_vae_config):
     vae = VAE(3, tiny_vae_config)
     disc = Discriminator(im_channels=3, conv_channels=[8, 16], kernels=[4, 4, 4],

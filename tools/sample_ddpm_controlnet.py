@@ -15,7 +15,7 @@ import random
 import jax
 import numpy as np
 
-from controlnet_tpu import cli, config as cfg
+from controlnet_tpu import cli, config as cfg, tuning
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.controlnet import ControlNet
 from controlnet_tpu.sample.ddpm import make_ddpm_sampler
@@ -69,10 +69,10 @@ def sample(args):
     params = cli.put_replicated(params, mesh)
     # Hint features are loop-invariant: encode once, reuse for all T steps.
     hint_feats = jax.jit(cn.hint_features)(params, jax.numpy.asarray(hints_in))
-    # CONTROLNET_TPU_FORWARD=paired: dual-trunk attention batching (see
-    # tools/sample_ldm_controlnet.py) — same math, scheduling only.
-    fwd = cn.forward_paired if os.environ.get(
-        "CONTROLNET_TPU_FORWARD") == "paired" else cn
+    # tpu_params.forward=paired (or CONTROLNET_TPU_FORWARD=paired): dual-trunk
+    # attention batching (see tools/sample_ldm_controlnet.py) — same math,
+    # scheduling only.
+    fwd = cn.forward_paired if tuning.get("forward") == "paired" else cn
     sampler = make_ddpm_sampler(
         lambda p, x, t, f: fwd(p, x, t, hint_features=f), sched, shape,
         record_every=record_every, mesh=mesh,

@@ -16,7 +16,7 @@ import random
 import jax
 import numpy as np
 
-from controlnet_tpu import cli, config as cfg
+from controlnet_tpu import cli, config as cfg, tuning
 from controlnet_tpu.data.datasets import CelebDataset
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.controlnet import ControlNet
@@ -81,11 +81,11 @@ def sample(args):
     # exceeds one chip's HBM at compile time by batch 64 at 1024^2
     # (docs/artifacts/tpu_batch_sweep_r4.json); <=16 is a single call.
     hint_feats = cn.hint_features_chunked(params, jax.numpy.asarray(hints_in))
-    # CONTROLNET_TPU_FORWARD=paired: dual-trunk forward with each layer's
-    # two attention cores batched into one kernel call (forward_paired) —
-    # same math, scheduling only (see scripts/tpu_paired_attn_ab.py).
-    fwd = cn.forward_paired if os.environ.get(
-        "CONTROLNET_TPU_FORWARD") == "paired" else cn
+    # tpu_params.forward=paired (or CONTROLNET_TPU_FORWARD=paired):
+    # dual-trunk forward with each layer's two attention cores batched into
+    # one kernel call (forward_paired) — same math, scheduling only (see
+    # scripts/tpu_paired_attn_ab.py).
+    fwd = cn.forward_paired if tuning.get("forward") == "paired" else cn
     sampler = make_ldm_sampler(
         lambda p, x, t, f: fwd(p, x, t, hint_features=f), lambda p, zz: vae.decode(p, zz),
         sched, shape, record_every=record_every, mesh=mesh,

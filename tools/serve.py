@@ -15,21 +15,31 @@ Endpoints:
                                response: npz with "samples" (B, ..., C).
 
 Serving model: a ThreadingHTTPServer so PNG/npz codec work overlaps across
-requests, with a single device lock around generation (one chip, one
-in-flight computation — queued requests wait).  Batch shapes are padded up
-to the next power-of-two bucket (<= --max-batch) so every request hits one
-of a small set of precompiled programs instead of triggering a recompile.
-The model is compiled once per bucket at startup (AOT warmup) so request
-latency is pure device execution + codec.
+requests, with a single dispatcher thread owning the device (one chip, one
+in-flight computation).  Requests are DYNAMICALLY BATCHED across clients
+(VERDICT r4 weak #5): the dispatcher coalesces queued requests with the
+same ``steps`` into one device call of up to --max-batch rows — while the
+device computes batch k, new arrivals accumulate for batch k+1, so under
+concurrent load the chip sees full buckets instead of a serial stream of
+single-row calls.  A small arrival window (--batch-window-ms) additionally
+lets near-simultaneous requests join one dispatch while the device is
+idle.  Batch shapes are padded up to the next power-of-two bucket
+(<= --max-batch) so every request hits one of a small set of precompiled
+programs instead of triggering a recompile.  The model is compiled once
+per bucket at startup (AOT warmup) so request latency is pure device
+execution + codec.
 """
 
 from __future__ import annotations
 
 import argparse
+import collections
 import io
 import json
+import queue
 import threading
 import time
+from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -109,6 +119,118 @@ def _bucket(b: int, max_batch: int) -> int:
     return n if n >= b else max_batch
 
 
+@dataclass
+class _Request:
+    """One client's generation request, parked until its batch resolves."""
+
+    hints: np.ndarray  # (n, H, W, C)
+    steps: int
+    event: threading.Event = field(default_factory=threading.Event)
+    samples: np.ndarray | None = None
+    latency_ms: float = 0.0
+    batch_rows: int = 0
+    error: Exception | None = None
+
+
+class _MicroBatcher:
+    """Cross-request dynamic batching in front of one device.
+
+    One dispatcher thread pulls requests off a queue and coalesces those
+    with the same jit-static ``steps`` value into a single device call of
+    up to ``max_batch`` rows.  Two mechanisms fill batches:
+
+    * backpressure coalescing: while the device executes batch k, arrivals
+      queue up and are drained (non-blocking) into batch k+1 — this is
+      where the throughput win under sustained concurrency comes from and
+      costs idle requests nothing;
+    * an arrival window: after the first request of a batch, up to
+      ``window_ms`` is spent waiting for near-simultaneous requests so a
+      burst hitting an idle device still shares one dispatch (0 disables).
+
+    Requests that don't fit the current batch (different steps, or rows
+    would exceed max_batch) are deferred in FIFO order to the next batch.
+    """
+
+    def __init__(self, run_fn, max_batch: int, window_ms: float):
+        self._run = run_fn
+        self._max_batch = max_batch
+        self._window_s = max(0.0, window_ms) / 1000.0
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="serve-microbatcher")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop = True
+        self._thread.join(timeout=2.0)
+
+    def submit(self, hints: np.ndarray, steps: int,
+               timeout: float = 600.0) -> tuple[np.ndarray, float, int]:
+        """Enqueue and block until the batch containing this request ran.
+        Returns (samples, device_latency_ms, dispatched_batch_rows)."""
+        req = _Request(hints, steps)
+        self._queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out in the batching queue")
+        if req.error is not None:
+            raise req.error
+        return req.samples, req.latency_ms, req.batch_rows
+
+    # ---- dispatcher thread ----
+    def _loop(self) -> None:
+        pending: collections.deque = collections.deque()
+        while not self._stop:
+            if pending:
+                head = pending.popleft()
+            else:
+                try:
+                    head = self._queue.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+            group, rows = [head], head.hints.shape[0]
+            deferred = []
+            deadline = time.monotonic() + self._window_s
+            while rows < self._max_batch:
+                if pending:
+                    nxt = pending.popleft()
+                else:
+                    remaining = deadline - time.monotonic()
+                    try:
+                        # drain immediately-available items even after the
+                        # window closed (block=False); they are already here
+                        nxt = self._queue.get(block=remaining > 0,
+                                              timeout=max(remaining, 0.0))
+                    except queue.Empty:
+                        break
+                if (nxt.steps != head.steps
+                        or rows + nxt.hints.shape[0] > self._max_batch):
+                    deferred.append(nxt)
+                    continue
+                group.append(nxt)
+                rows += nxt.hints.shape[0]
+            pending.extendleft(reversed(deferred))
+            self._dispatch(group, rows)
+
+    def _dispatch(self, group: list, rows: int) -> None:
+        try:
+            hints = (group[0].hints if len(group) == 1
+                     else np.concatenate([r.hints for r in group]))
+            samples, latency_ms = self._run(hints, group[0].steps)
+            off = 0
+            for r in group:
+                n = r.hints.shape[0]
+                r.samples = samples[off:off + n]
+                off += n
+                r.latency_ms = latency_ms
+                r.batch_rows = rows
+                r.event.set()
+        except Exception as e:  # surfaced per request as a 500
+            for r in group:
+                r.error = e
+                r.event.set()
+
+
 def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
     """Build the (not yet running) HTTP server; tests drive it in-thread."""
     gen, im_size, im_channels, hint_channels = build_generator(args, config)
@@ -131,23 +253,29 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
             warm_hint = jnp.zeros((b, im_size, im_size, hint_channels))
             jax.block_until_ready(gen(warm_hint, jax.random.PRNGKey(0), 1))
 
-    device_lock = threading.Lock()
     key_state = {"key": jax.random.PRNGKey(args.seed)}
 
     def run(hints: np.ndarray, steps: int) -> tuple[np.ndarray, float]:
-        """Pad to bucket, generate under the device lock, unpad.  Returns
-        (samples, device_latency_ms)."""
+        """Pad to bucket, generate, unpad.  Only the batcher's dispatcher
+        thread calls this, so device access is single-flight by
+        construction.  Returns (samples, device_latency_ms)."""
         b = hints.shape[0]
         nb = _bucket(b, max_batch)
         if nb != b:
             hints = np.concatenate(
                 [hints, np.zeros((nb - b,) + hints.shape[1:], hints.dtype)])
-        with device_lock:
-            key_state["key"], k = jax.random.split(key_state["key"])
-            t0 = time.time()
-            out = np.asarray(jax.block_until_ready(gen(jnp.asarray(hints), k, steps)))
-            latency_ms = (time.time() - t0) * 1000.0
+        key_state["key"], k = jax.random.split(key_state["key"])
+        t0 = time.time()
+        out = np.asarray(jax.block_until_ready(gen(jnp.asarray(hints), k, steps)))
+        latency_ms = (time.time() - t0) * 1000.0
         return out[:b], latency_ms
+
+    # --no-dynamic-batching: coalescing cap 1 = the pre-round-5 behavior
+    # (every request its own serialized device call); the A/B control for
+    # scripts/tpu_serve_bench.py and an operational escape hatch.
+    coalesce_cap = max_batch if getattr(args, "dynamic_batching", True) else 1
+    batcher = _MicroBatcher(run, coalesce_cap,
+                            getattr(args, "batch_window_ms", 2.0))
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet
@@ -166,7 +294,9 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
             if self.path.startswith("/healthz"):
                 body = json.dumps({"status": "ok", "model": args.model,
                                    "warm": warm, "max_batch": max_batch,
-                                   "max_steps": max_steps}).encode()
+                                   "max_steps": max_steps,
+                                   "batch_window_ms": getattr(
+                                       args, "batch_window_ms", 2.0)}).encode()
                 self._reply(200, body, "application/json")
             else:
                 self._reply(404, b"", "text/plain")
@@ -207,11 +337,16 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
                         or hints.shape[1:] != (im_size, im_size, hint_channels)):
                     self._reply(400, f"bad hints shape {hints.shape}".encode(), "text/plain")
                     return
-                samples, latency_ms = run(hints, steps)
+                try:
+                    samples, latency_ms, rows = batcher.submit(hints, steps)
+                except Exception as e:
+                    self._reply(500, f"generation failed: {e}".encode(), "text/plain")
+                    return
                 buf = io.BytesIO()
                 np.savez_compressed(buf, samples=samples)
                 self._reply(200, buf.getvalue(), "application/octet-stream",
-                            {"X-Latency-Ms": f"{latency_ms:.2f}"})
+                            {"X-Latency-Ms": f"{latency_ms:.2f}",
+                             "X-Batch-Rows": str(rows)})
                 return
 
             if not self.path.startswith("/generate"):
@@ -224,7 +359,11 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
                 return
             hint = np.asarray(img, np.float32) / 255.0
             hint = np.repeat(hint[None, :, :, None], hint_channels, axis=-1)
-            sample, latency_ms = run(hint, steps)
+            try:
+                sample, latency_ms, rows = batcher.submit(hint, steps)
+            except Exception as e:
+                self._reply(500, f"generation failed: {e}".encode(), "text/plain")
+                return
 
             out = np.clip((sample[0] + 1.0) / 2.0, 0, 1)
             out8 = (out * 255).astype(np.uint8)
@@ -232,9 +371,15 @@ def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
             buf = io.BytesIO()
             im.save(buf, format="PNG")
             self._reply(200, buf.getvalue(), "image/png",
-                        {"X-Latency-Ms": f"{latency_ms:.2f}"})
+                        {"X-Latency-Ms": f"{latency_ms:.2f}",
+                         "X-Batch-Rows": str(rows)})
 
-    return ThreadingHTTPServer((args.host, args.port), Handler)
+    class Server(ThreadingHTTPServer):
+        def server_close(self):
+            batcher.stop()
+            super().server_close()
+
+    return Server((args.host, args.port), Handler)
 
 
 def main(args):
@@ -261,4 +406,14 @@ if __name__ == "__main__":
                              "docs/artifacts/tpu_batch_sweep_r4.json)")
     parser.add_argument("--max-steps", dest="max_steps", type=int, default=8,
                         help="largest allowed ?steps= value (bounds the jit compile cache)")
+    parser.add_argument("--no-dynamic-batching", dest="dynamic_batching",
+                        action="store_false",
+                        help="serialize one request per device call "
+                             "(pre-round-5 behavior; A/B control)")
+    parser.add_argument("--batch-window-ms", dest="batch_window_ms", type=float,
+                        default=2.0,
+                        help="arrival window for cross-request dynamic batching: "
+                             "after the first request of a batch, wait up to this "
+                             "long for more before dispatching (0 disables; "
+                             "coalescing while the device is busy always happens)")
     main(parser.parse_args())

