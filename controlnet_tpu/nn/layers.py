@@ -243,7 +243,12 @@ class GroupNorm:
         # (docs/DESIGN.md round-3 profile).  The elementwise apply stays in
         # the input layout so XLA fuses it into neighbors.  Stats in f32;
         # E[x^2]-E[x]^2 in f32 matches the two-pass torch variance to well
-        # under test tolerance at these magnitudes.
+        # under test tolerance at these magnitudes.  Accuracy envelope of
+        # the single-pass form (cancellation-prone at |mean| >> std) is
+        # pinned by tests/test_layers.py::
+        # test_groupnorm_extreme_magnitude_accuracy: output atol 1e-5 at
+        # mean~0, 1e-4 at mean~10, 2e-2 at mean~100 — activations here are
+        # post-norm/post-SiLU (|mean| < ~10), far inside the envelope.
         orig_dtype = x.dtype
         b = x.shape[0]
         g = self.num_groups
