@@ -130,15 +130,24 @@ def get(name: str) -> Any:
 
 
 def apply_config(config: dict) -> None:
-    """Apply a parsed YAML config's ``tpu_params`` section (if any).
+    """Apply a parsed YAML config's ``tpu_params`` section.
 
     Called by ``config.load_config`` on every load, so the YAML file is the
-    authoritative knob surface for every tool.  Unknown keys are an error —
-    a typo'd knob silently doing nothing is how perf regressions hide.
+    authoritative knob surface for every tool.  Only a config that CONTAINS
+    a ``tpu_params`` key mutates knob state — loading a secondary YAML
+    merely to read model_params cannot clobber previously applied knobs;
+    an explicit empty section (``tpu_params: {}`` or a bare ``tpu_params:``
+    key) resets everything to defaults.  Unknown keys and non-mapping
+    sections are an error — a typo'd knob silently doing nothing is how
+    perf regressions hide.
     """
-    section = config.get("tpu_params") or {}
+    if "tpu_params" not in config:
+        return
+    section = config["tpu_params"]
+    if section is None:  # bare `tpu_params:` key = explicit reset
+        section = {}
     if not isinstance(section, dict):
-        raise ValueError(f"tpu_params must be a mapping, got {type(section).__name__}")
+        raise ValueError(f"tpu_params must be a mapping, got {section!r}")
     unknown = sorted(set(section) - set(_KNOBS))
     if unknown:
         raise ValueError(

@@ -93,14 +93,14 @@ SEED_STREAM = 77
 SEED_INIT = 55
 
 if FULLCFG:
-    # Exact /root/reference/config/mnist.yaml model_params (:13-24).
-    MODEL_PARAMS = {
-        "im_channels": 1, "im_size": IM_SIZE, "hint_channels": 3,
-        "down_channels": [32, 64, 128, 256], "mid_channels": [256, 256, 128],
-        "down_sample": [True, True, False], "time_emb_dim": 128,
-        "num_down_layers": 2, "num_mid_layers": 2, "num_up_layers": 2,
-        "num_heads": 4,
-    }
+    # The REAL architecture, read from this repo's config/mnist.yaml (whose
+    # model_params mirror /root/reference/config/mnist.yaml:13-24 exactly)
+    # so the replay can never drift from what the tools actually train.
+    import yaml as _yaml
+
+    with open(os.path.join(REPO, "config", "mnist.yaml")) as _f:
+        MODEL_PARAMS = _yaml.safe_load(_f)["model_params"]
+    assert MODEL_PARAMS["im_size"] == IM_SIZE
 else:
     MODEL_PARAMS = {
         "im_channels": 1, "im_size": IM_SIZE, "hint_channels": 3,

@@ -111,11 +111,11 @@ def leg_dmd():
     from controlnet_tpu.train.loops import make_dmd_train_step
     from controlnet_tpu.train.state import create_train_state
 
-    MP = {"im_channels": 1, "im_size": 28, "hint_channels": 3,
-          "down_channels": [32, 64, 128, 256], "mid_channels": [256, 256, 128],
-          "down_sample": [True, True, False], "time_emb_dim": 128,
-          "num_down_layers": 2, "num_mid_layers": 2, "num_up_layers": 2,
-          "num_heads": 4}
+    from controlnet_tpu import config as cfgmod
+
+    # the real architecture, straight from the config the tools train with
+    MP = cfgmod.model_params(
+        cfgmod.load_config(os.path.join(REPO, "config", "mnist.yaml")))
     B = 64
     model = DistributionMatchingDistilled(1, MP, num_timesteps=1000)
     p = model.init(jax.random.PRNGKey(0))

@@ -39,10 +39,10 @@ STEPS = int(os.environ.get("SWEEP_STEPS", "1000"))
 BATCHES = [int(a) for a in sys.argv[1:]] or [64, 128, 256, 384, 512]
 BF16 = os.environ.get("SWEEP_BF16") == "1"  # headline bench is f32
 
-MP = dict(im_channels=1, im_size=28, hint_channels=3,
-          down_channels=[32, 64, 128, 256], mid_channels=[256, 256, 128],
-          down_sample=[True, True, False], time_emb_dim=128,
-          num_down_layers=2, num_mid_layers=2, num_up_layers=2, num_heads=4)
+from controlnet_tpu import config as cfgmod
+
+# the real architecture, straight from the config the tools train with
+MP = cfgmod.model_params(cfgmod.load_config(os.path.join(REPO, "config", "mnist.yaml")))
 
 assert jax.default_backend() == "tpu", "sweep must run on the real chip"
 sched = make_linear_schedule(STEPS, 1e-4, 0.02)

@@ -53,13 +53,11 @@ SEQ_REQS = 32
 MAX_BATCH = 16
 WS = os.environ.get("SERVE_BENCH_WS", "/root/repo/serve_bench_ws")
 
-MODEL_PARAMS = {  # config/mnist.yaml model_params (real scale)
-    "im_channels": 1, "im_size": 28, "hint_channels": 3,
-    "down_channels": [32, 64, 128, 256], "mid_channels": [256, 256, 128],
-    "down_sample": [True, True, False], "time_emb_dim": 128,
-    "num_down_layers": 2, "num_mid_layers": 2, "num_up_layers": 2,
-    "num_heads": 4,
-}
+from controlnet_tpu import config as cfgmod
+
+# the real architecture, straight from the config the tools train with
+MODEL_PARAMS = cfgmod.model_params(
+    cfgmod.load_config(os.path.join(REPO, "config", "mnist.yaml")))
 
 assert jax.default_backend() == "tpu", "bench must run on the real chip"
 os.makedirs(WS, exist_ok=True)

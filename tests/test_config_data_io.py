@@ -310,10 +310,17 @@ def test_tuning_yaml_section_applied_by_load_config(_clean_tuning, tmp_path):
     assert tuning.get("tl_hint") is False
     assert tuning.get("attn_group_cap") == 8
     assert tuning.get("forward") == "paired"
-    # a later config WITHOUT tpu_params resets to defaults
+    # a later config WITHOUT the section is a no-op (reading a secondary
+    # YAML for model_params must not clobber applied knobs) ...
     q = tmp_path / "d.yaml"
     q.write_text("dataset_params: {task_name: mnist}\n")
     cfg.load_config(str(q))
+    assert tuning.get("tl_hint") is False
+    assert tuning.get("forward") == "paired"
+    # ... while an EXPLICIT empty section resets to defaults
+    r = tmp_path / "e.yaml"
+    r.write_text("tpu_params: {}\n")
+    cfg.load_config(str(r))
     assert tuning.get("tl_hint") is True
     assert tuning.get("forward") == "default"
 
@@ -330,6 +337,11 @@ def test_tuning_unknown_key_and_bad_values_rejected(_clean_tuning, tmp_path):
         tuning.apply_config({"tpu_params": {"attn_vmem_bytes": -1}})
     with pytest.raises(ValueError, match="paired"):
         tuning.apply_config({"tpu_params": {"forward": "dual"}})
+    # a falsy non-mapping section must raise, not silently reset knobs
+    with pytest.raises(ValueError, match="mapping"):
+        tuning.apply_config({"tpu_params": False})
+    with pytest.raises(ValueError, match="mapping"):
+        tuning.apply_config({"tpu_params": ["tl_hint"]})
 
 
 def test_tuning_env_overrides_yaml(_clean_tuning, monkeypatch):

@@ -90,3 +90,43 @@ def test_sharedrng_training_numerics_match(tmp_path):
     ref_s, ours_s = load("ref_sr_samples"), load("ours_sr_samples")
     assert ref_s.shape == ours_s.shape
     assert float(np.mean(np.abs(ref_s - ours_s))) < 1e-2  # 8-bit png quantization
+
+
+def test_fullconfig_sharedrng_artifact_pins_parity():
+    """Evidence pin for the FULL-CONFIG shared-RNG replay (VERDICT r4
+    next-round #1): the committed artifact from running the protocol at
+    the real mnist.yaml architecture (28x28, down [32,64,128,256],
+    T=1000; scripts/fidelity_sharedrng.py SHAREDRNG_FULLCFG=1, 256 steps)
+    must record float-tolerance agreement between the torch reference
+    replay and this stack.  Re-measuring takes ~3 h of 1-core torch CPU,
+    so the runtime property is pinned at tiny scale by the tests above;
+    this test pins the recorded full-scale evidence so it cannot be
+    silently edited or dropped."""
+    path = os.path.join(REPO, "fidelity_ws",
+                        "fidelity_cd_sharedrng_full_results.json")
+    assert os.path.exists(path), "full-config shared-RNG artifact missing"
+    rows = json.load(open(path))
+
+    # the run really was the real architecture, for a few hundred steps
+    assert rows["fullcfg"] is True and rows["im_size"] == 28
+    assert rows["model_params"]["down_channels"] == [32, 64, 128, 256]
+    assert rows["model_params"]["mid_channels"] == [256, 256, 128]
+    assert rows["total_steps"] >= 200
+
+    # loss trajectories: float-accumulation-level agreement
+    assert rows["loss_mean_reldiff"] < 1e-4
+    assert rows["loss_final_step_absdiff"] < 1e-4
+    # parameter space: ours-final vs ref-final at float tolerance,
+    # and tiny relative to how far training moved the weights
+    assert rows["param_rel_l2_ours_vs_ref"] < 1e-3
+    assert rows["param_divergence_over_training_movement"] < 0.02
+    # paired 1-step samples from the shared x_T: FFD collapses far below
+    # both half-vs-half noise floors
+    assert rows["ffd_sr_below_floors"] is True
+    assert rows["ffd_sr_ours_vs_ref"] < 0.01 * min(
+        rows["ffd_sr_noise_floor_ref_halves"],
+        rows["ffd_sr_noise_floor_ours_halves"])
+    # TPU leg (same streams on the real chip): below the floors too
+    if "ffd_sr_tpu_vs_ref" in rows:
+        assert rows["ffd_sr_tpu_below_floors"] is True
+        assert rows["tpu_loss_mean_reldiff"] < 0.01

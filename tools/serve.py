@@ -130,6 +130,7 @@ class _Request:
     latency_ms: float = 0.0
     batch_rows: int = 0
     error: Exception | None = None
+    cancelled: bool = False  # submit() timed out; do not spend device time
 
 
 class _MicroBatcher:
@@ -156,6 +157,7 @@ class _MicroBatcher:
         self._max_batch = max_batch
         self._window_s = max(0.0, window_ms) / 1000.0
         self._queue: queue.Queue = queue.Queue()
+        self._pending: collections.deque = collections.deque()
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="serve-microbatcher")
@@ -163,7 +165,19 @@ class _MicroBatcher:
 
     def stop(self) -> None:
         self._stop = True
-        self._thread.join(timeout=2.0)
+        self._thread.join(timeout=5.0)
+        # Fail any still-parked requests instead of leaving their handler
+        # threads (and clients) to sit out the full submit timeout.
+        leftovers = list(self._pending)
+        self._pending.clear()
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for r in leftovers:
+            r.error = RuntimeError("server shutting down")
+            r.event.set()
 
     def submit(self, hints: np.ndarray, steps: int,
                timeout: float = 600.0) -> tuple[np.ndarray, float, int]:
@@ -172,6 +186,10 @@ class _MicroBatcher:
         req = _Request(hints, steps)
         self._queue.put(req)
         if not req.event.wait(timeout):
+            # Mark dead so the dispatcher sheds it instead of burning a
+            # device call on a result nobody will read (self-sustaining
+            # backlog under overload otherwise).
+            req.cancelled = True
             raise TimeoutError("generation timed out in the batching queue")
         if req.error is not None:
             raise req.error
@@ -179,7 +197,7 @@ class _MicroBatcher:
 
     # ---- dispatcher thread ----
     def _loop(self) -> None:
-        pending: collections.deque = collections.deque()
+        pending = self._pending
         while not self._stop:
             if pending:
                 head = pending.popleft()
@@ -188,6 +206,8 @@ class _MicroBatcher:
                     head = self._queue.get(timeout=0.1)
                 except queue.Empty:
                     continue
+            if head.cancelled:
+                continue
             group, rows = [head], head.hints.shape[0]
             deferred = []
             deadline = time.monotonic() + self._window_s
@@ -203,6 +223,8 @@ class _MicroBatcher:
                                               timeout=max(remaining, 0.0))
                     except queue.Empty:
                         break
+                if nxt.cancelled:
+                    continue
                 if (nxt.steps != head.steps
                         or rows + nxt.hints.shape[0] > self._max_batch):
                     deferred.append(nxt)
