@@ -217,3 +217,38 @@ def test_fused_proj_footprint_guard():
     # MNIST/CIFAR shapes (28^2=784 tokens at small C) fit
     assert fused_proj_fits(784, 128, 128, itemsize=2)
     assert fused_proj_fits(1024, 128, 128, itemsize=2)
+
+
+def test_tuning_knobs_reach_kernel_planners(monkeypatch):
+    """The YAML tpu_params surface must actually steer the kernel planning
+    code — a registry nothing reads is how knobs silently die.  Checks the
+    attention group picker (attn_group_cap / attn_vmem_bytes) and the TL
+    conv applicability gate (disable_pallas_conv) end-to-end through
+    tuning.apply_config, with env cleared so YAML values are live."""
+    from controlnet_tpu import tuning
+    from controlnet_tpu.ops import pallas_attention as pa
+    from controlnet_tpu.ops.pallas_conv import pallas_conv3x3_applicable
+
+    for knob in tuning._KNOBS.values():
+        monkeypatch.delenv(knob.env, raising=False)
+    saved = dict(tuning._yaml_values)
+    try:
+        tuning.apply_config({"tpu_params": {}})
+        baseline = pa._pick_group(8, 128, 128, 16, n_bufs=2)
+        assert baseline == 4  # default cap
+
+        tuning.apply_config({"tpu_params": {"attn_group_cap": 2}})
+        assert pa._pick_group(8, 128, 128, 16, n_bufs=2) == 2
+
+        # a starved VMEM budget forces group 1 regardless of the cap
+        tuning.apply_config({"tpu_params": {"attn_vmem_bytes": 1}})
+        assert pa._pick_group(8, 128, 128, 16, n_bufs=2) == 1
+
+        # disable_pallas_conv gates the TL conv kernel off (shape/backend
+        # checks come later in the function, so False is decisive here)
+        x = jnp.zeros((16, 2, 64), jnp.float32)  # (C, B, L)
+        tuning.apply_config({"tpu_params": {"disable_pallas_conv": True}})
+        assert pallas_conv3x3_applicable(x, 16, 16, (8, 8)) is False
+    finally:
+        tuning._yaml_values.clear()
+        tuning._yaml_values.update(saved)
