@@ -61,6 +61,34 @@ _BG_THREADS: dict[str, threading.Thread] = {}
 _BG_ERRORS: list[BaseException] = []
 
 
+def _spawn_root_worker(root: str, fn, desc: str) -> threading.Thread:
+    """Run ``fn`` on a worker thread serialized per checkpoint root: the
+    worker first joins the previous worker for the same root, so background
+    work (D2H+write, post-commit pruning) never interleaves within a root.
+    Failures are logged immediately and re-raised by
+    :func:`wait_for_checkpoints`."""
+    prev = _BG_THREADS.get(root)
+
+    def work():
+        try:
+            if prev is not None:
+                prev.join()
+            fn()
+        except BaseException as e:
+            # Log NOW (an abnormal exit may never reach the trainer's final
+            # wait_for_checkpoints, and the error must not die with it),
+            # then queue for wait_for_checkpoints to re-raise.
+            print(f"[checkpoint] background {desc} FAILED: {e!r}",
+                  file=sys.stderr, flush=True)
+            _BG_ERRORS.append(e)
+
+    t = threading.Thread(target=work, name=f"ckpt-bg-{os.path.basename(root)}",
+                         daemon=False)
+    _BG_THREADS[root] = t
+    t.start()
+    return t
+
+
 def wait_for_checkpoints() -> None:
     """Block until every in-flight async save has committed to disk."""
     for t in list(_BG_THREADS.values()):
@@ -165,9 +193,24 @@ def save_checkpoint_background(ckpt_dir: str, name: str, step: int, tree: Any,
     if jax.process_count() > 1:
         # Multi-host arrays are not fully addressable from one process, so
         # the worker's device_get would fail; use orbax's own multi-host
-        # async path instead (D2H blocking, write overlapped).
-        return save_checkpoint(ckpt_dir, name, step, tree, block=False,
-                               max_to_keep=max_to_keep)
+        # async path instead (D2H blocking, write overlapped).  Retention
+        # must NOT ride save_checkpoint's max_to_keep here — that path
+        # waits for the write before pruning, which would silently turn
+        # every background save fully blocking.  Instead prune on a worker
+        # thread that joins the async write first (same commit-then-prune
+        # ordering, off the training thread).
+        path = save_checkpoint(ckpt_dir, name, step, tree, block=False)
+        if max_to_keep and jax.process_index() == 0:
+            root = _ckpt_root(ckpt_dir, name)
+            ckptr = _checkpointer(root)
+
+            def prune_after_commit():
+                ckptr.wait_until_finished()
+                prune_checkpoints(ckpt_dir, name, max_to_keep)
+
+            _spawn_root_worker(root, prune_after_commit,
+                               desc=f"prune after {path}")
+        return path
     root = _ckpt_root(ckpt_dir, name)
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, str(step))
@@ -191,34 +234,20 @@ def save_checkpoint_background(ckpt_dir: str, name: str, step: int, tree: Any,
         for i, c in zip(idx, copies):
             leaves[i] = c
     snap = jax.tree.unflatten(treedef, leaves)
-    prev = _BG_THREADS.get(root)
     ckptr = _checkpointer(root)  # created on the main thread
 
-    def work():
-        try:
-            if prev is not None:
-                prev.join()
-            host = jax.device_get(snap)  # D2H streams while training runs
-            ckptr.save(path, host, force=True)
-            if max_to_keep:
-                # prune only after THIS write committed (orbax serializes
-                # writes within a root, so everything newer than the pruned
-                # steps is on disk and complete) — the wait runs on this
-                # worker thread, never stalling training
-                ckptr.wait_until_finished()
-                prune_checkpoints(ckpt_dir, name, max_to_keep)
-        except BaseException as e:
-            # Log NOW (an abnormal exit may never reach the trainer's final
-            # wait_for_checkpoints, and the error must not die with it),
-            # then queue for wait_for_checkpoints to re-raise.
-            print(f"[checkpoint] background save of {path} FAILED: {e!r}",
-                  file=sys.stderr, flush=True)
-            _BG_ERRORS.append(e)
+    def save_then_prune():
+        host = jax.device_get(snap)  # D2H streams while training runs
+        ckptr.save(path, host, force=True)
+        if max_to_keep:
+            # prune only after THIS write committed (orbax serializes
+            # writes within a root, so everything newer than the pruned
+            # steps is on disk and complete) — the wait runs on this
+            # worker thread, never stalling training
+            ckptr.wait_until_finished()
+            prune_checkpoints(ckpt_dir, name, max_to_keep)
 
-    t = threading.Thread(target=work, name=f"ckpt-bg-{os.path.basename(root)}",
-                         daemon=False)
-    _BG_THREADS[root] = t
-    t.start()
+    _spawn_root_worker(root, save_then_prune, desc=f"save of {path}")
     return path
 
 

@@ -224,6 +224,49 @@ def test_checkpoint_retention_pruning(tmp_path):
     assert latest_checkpoint(ckpt_dir, "all.pth") == 3
 
 
+def test_checkpoint_multihost_retention_does_not_block(tmp_path, monkeypatch):
+    """On jax.process_count()>1, save_checkpoint_background must NOT route
+    retention through save_checkpoint(max_to_keep=...) — that path waits for
+    the write on the training thread (checkpoint.py save_checkpoint: ``if
+    block or max_to_keep``), silently making every background save fully
+    blocking.  Pruning must run on a worker thread after the write commits."""
+    import threading
+
+    import controlnet_tpu.io.checkpoint as ckpt_mod
+
+    # Patch only checkpoint.py's view of jax — patching the jax module
+    # globally would make orbax's own multihost checks demand
+    # jax.distributed.initialize().
+    class _JaxProxy:
+        process_count = staticmethod(lambda: 2)
+        process_index = staticmethod(lambda: 0)
+
+        def __getattr__(self, attr):
+            return getattr(jax, attr)
+
+    monkeypatch.setattr(ckpt_mod, "jax", _JaxProxy())
+    seen = {}
+    real_prune = ckpt_mod.prune_checkpoints
+
+    def spy_prune(*a, **k):
+        seen["thread"] = threading.current_thread()
+        return real_prune(*a, **k)
+
+    monkeypatch.setattr(ckpt_mod, "prune_checkpoints", spy_prune)
+    ckpt_dir = str(tmp_path / "task")
+    for s in range(1, 5):
+        ckpt_mod.save_checkpoint_background(
+            ckpt_dir, "model.pth", s, {"w": jnp.full((2,), float(s))},
+            max_to_keep=2)
+    ckpt_mod.wait_for_checkpoints()
+    assert seen["thread"] is not threading.main_thread()
+    root = os.path.join(ckpt_dir, "model")
+    assert sorted(int(d) for d in os.listdir(root) if d.isdigit()) == [3, 4]
+    restored, step = restore_checkpoint(ckpt_dir, "model.pth", {"w": jnp.zeros(2)})
+    assert step == 4
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.full((2,), 4.0))
+
+
 def test_cifar_dataset_rgb_hints(tmp_path):
     """RGB tree + RGB->gray canny hints (cifar_dataset.py:141-158)."""
     from controlnet_tpu.data.datasets import CifarDataset

@@ -220,6 +220,38 @@ def test_batcher_stop_fails_parked_requests_fast():
     assert all("shutting down" in str(e) for e in errors)
 
 
+def test_batcher_submit_after_stop_fails_fast():
+    """A submit landing AFTER stop()'s drain (handler threads keep running
+    through server_close under ThreadingHTTPServer) must fail immediately —
+    with the dispatcher gone, nothing else would ever complete it, and the
+    client would otherwise hang for the full 600 s submit timeout."""
+    b = _MicroBatcher(_mk_run([]), max_batch=4, window_ms=0.0)
+    b.stop()
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b.submit(np.zeros((1, 2, 2, 1), np.float32), 1)
+    assert time.monotonic() - t0 < 5.0
+
+    # the narrower race: the pre-put _stop check passes, stop() drains,
+    # THEN the put lands — the post-put re-drain must still fail it fast
+    b2 = _MicroBatcher(_mk_run([]), max_batch=4, window_ms=0.0)
+    b2._thread.join(timeout=0.0)  # no-op; keep the dispatcher semantics
+    orig_put = b2._queue.put
+
+    def put_after_stop(req):
+        b2._stop = True
+        b2._thread.join(timeout=5.0)
+        b2._fail_parked()  # stop()'s drain runs before our put lands
+        orig_put(req)
+
+    b2._queue.put = put_after_stop
+    b2._stop = False  # the pre-put check must pass to exercise the race
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b2.submit(np.zeros((1, 2, 2, 1), np.float32), 1, timeout=30.0)
+    assert time.monotonic() - t0 < 10.0
+
+
 def test_batcher_propagates_errors_to_every_member():
     def boom(hints, steps):
         raise RuntimeError("device on fire")

@@ -158,6 +158,7 @@ class _MicroBatcher:
         self._window_s = max(0.0, window_ms) / 1000.0
         self._queue: queue.Queue = queue.Queue()
         self._pending: collections.deque = collections.deque()
+        self._drain_lock = threading.Lock()
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="serve-microbatcher")
@@ -168,13 +169,20 @@ class _MicroBatcher:
         self._thread.join(timeout=5.0)
         # Fail any still-parked requests instead of leaving their handler
         # threads (and clients) to sit out the full submit timeout.
-        leftovers = list(self._pending)
-        self._pending.clear()
-        while True:
-            try:
-                leftovers.append(self._queue.get_nowait())
-            except queue.Empty:
-                break
+        self._fail_parked()
+
+    def _fail_parked(self) -> None:
+        """Complete every queued/pending request with a shutdown error.
+        Lock-guarded so stop() and late submit() calls can both drain
+        without double-completing a request."""
+        with self._drain_lock:
+            leftovers = list(self._pending)
+            self._pending.clear()
+            while True:
+                try:
+                    leftovers.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
         for r in leftovers:
             r.error = RuntimeError("server shutting down")
             r.event.set()
@@ -183,8 +191,17 @@ class _MicroBatcher:
                timeout: float = 600.0) -> tuple[np.ndarray, float, int]:
         """Enqueue and block until the batch containing this request ran.
         Returns (samples, device_latency_ms, dispatched_batch_rows)."""
+        if self._stop:
+            raise RuntimeError("server shutting down")
         req = _Request(hints, steps)
         self._queue.put(req)
+        if self._stop:
+            # stop() may have run its drain between the check above and the
+            # put — with the dispatcher gone, nothing else would ever
+            # complete this request; drain again so it fails fast instead
+            # of sitting out the full timeout (handler threads keep running
+            # through server_close under ThreadingHTTPServer).
+            self._fail_parked()
         if not req.event.wait(timeout):
             # Mark dead so the dispatcher sheds it instead of burning a
             # device call on a result nobody will read (self-sustaining
