@@ -100,8 +100,6 @@ def bench_north_star() -> dict | None:
         sched = make_linear_schedule(STEPS, 0.0015, 0.0195, ldm_scheduler=True)
         cn = ControlNet(4, ldm_mp, model_locked=True, down_sample_factor=32)
         params = cn.init(jax.random.PRNGKey(0))
-        hint = jnp.zeros((nb, 1024, 1024, 3))
-        feats = jax.jit(cn.hint_features)(params, hint)
         # BENCH_FORWARD=paired routes through forward_paired (dual-trunk
         # attention batching) — promoted to default only if the recorded
         # A/B (scripts/tpu_paired_attn_ab.py) wins.
@@ -109,16 +107,28 @@ def bench_north_star() -> dict | None:
             fwd = cn.forward_paired
         else:
             fwd = cn
-        sampler = make_ddpm_sampler(
-            lambda p, x, t, f: fwd(p, x, t, hint_features=f),
-            sched, (nb, 32, 32, 4), record_every=STEPS,
-            compute_dtype=jnp.bfloat16,
-        )
-        jax.block_until_ready(sampler(params, jax.random.PRNGKey(1), feats)[0])
-        t0 = time.time()
-        x0, _ = sampler(params, jax.random.PRNGKey(2), feats)
-        jax.block_until_ready(x0)
-        dt = time.time() - t0
+        def time_leg(nb_leg: int, chunked: bool) -> float:
+            """One measured leg: zero hints -> hoisted hint features ->
+            warm with PRNGKey(1) -> time ONE full scan with PRNGKey(2).
+            Every leg (headline, throughput, b8 compat) shares this exact
+            protocol so cross-key comparisons stay apples-to-apples."""
+            hint_l = jnp.zeros((nb_leg, 1024, 1024, 3))
+            # chunked: the one-shot encoder overflows HBM at compile time
+            # by batch 64 (bit-identical; one-time precompute)
+            feats_l = (cn.hint_features_chunked(params, hint_l) if chunked
+                       else jax.jit(cn.hint_features)(params, hint_l))
+            sampler_l = make_ddpm_sampler(
+                lambda p, x, t, f: fwd(p, x, t, hint_features=f),
+                sched, (nb_leg, 32, 32, 4), record_every=STEPS,
+                compute_dtype=jnp.bfloat16,
+            )
+            jax.block_until_ready(
+                sampler_l(params, jax.random.PRNGKey(1), feats_l)[0])
+            t0 = time.time()
+            x0, _ = sampler_l(params, jax.random.PRNGKey(2), feats_l)
+            jax.block_until_ready(x0)
+            return time.time() - t0
+        dt = time_leg(nb, chunked=False)
         out = {
             "ldm_controlnet_samples_per_sec_chip": round(nb / dt, 4),
             "ldm_controlnet_ms_per_step": round(1000.0 * dt / STEPS, 3),
@@ -131,20 +141,7 @@ def bench_north_star() -> dict | None:
         # already measured above.
         try:
             nb_tp = int(os.environ.get("BENCH_THROUGHPUT_BATCH", "16"))
-            hint_tp = jnp.zeros((nb_tp, 1024, 1024, 3))
-            # chunked: the one-shot encoder overflows HBM at compile time
-            # by batch 64 (bit-identical; one-time precompute)
-            feats_tp = cn.hint_features_chunked(params, hint_tp)
-            sampler_tp = make_ddpm_sampler(
-                lambda p, x, t, f: fwd(p, x, t, hint_features=f),
-                sched, (nb_tp, 32, 32, 4), record_every=STEPS,
-                compute_dtype=jnp.bfloat16,
-            )
-            jax.block_until_ready(sampler_tp(params, jax.random.PRNGKey(1), feats_tp)[0])
-            t0 = time.time()
-            x0, _ = sampler_tp(params, jax.random.PRNGKey(2), feats_tp)
-            jax.block_until_ready(x0)
-            dt_tp = time.time() - t0
+            dt_tp = time_leg(nb_tp, chunked=True)
             out["ldm_controlnet_throughput_batch"] = nb_tp
             out["ldm_controlnet_throughput_samples_per_sec_chip"] = round(nb_tp / dt_tp, 4)
             if nb_tp == 8:
@@ -154,18 +151,8 @@ def bench_north_star() -> dict | None:
                 # since round 3 — keep emitting it even after the throughput
                 # leg moved to batch 16 (ADVICE r4), so historical BENCH_r*
                 # comparisons never see the key vanish
-                hint_8 = jnp.zeros((8, 1024, 1024, 3))
-                feats_8 = cn.hint_features_chunked(params, hint_8)
-                sampler_8 = make_ddpm_sampler(
-                    lambda p, x, t, f: fwd(p, x, t, hint_features=f),
-                    sched, (8, 32, 32, 4), record_every=STEPS,
-                    compute_dtype=jnp.bfloat16,
-                )
-                jax.block_until_ready(sampler_8(params, jax.random.PRNGKey(1), feats_8)[0])
-                t0 = time.time()
-                x0, _ = sampler_8(params, jax.random.PRNGKey(2), feats_8)
-                jax.block_until_ready(x0)
-                out["ldm_controlnet_b8_samples_per_sec_chip"] = round(8 / (time.time() - t0), 4)
+                out["ldm_controlnet_b8_samples_per_sec_chip"] = round(
+                    8 / time_leg(8, chunked=True), 4)
         except Exception as e:  # pragma: no cover
             print(f"# north-star throughput leg unavailable: {e}", file=sys.stderr)
         return out

@@ -159,6 +159,17 @@ def save_checkpoint(ckpt_dir: str, name: str, step: int, tree: Any,
     if block or max_to_keep:
         ckptr.wait_until_finished()
     if max_to_keep and jax.process_index() == 0:
+        # An in-flight save_checkpoint_background for the same root may not
+        # have issued its orbax write yet (it could still be mid device_get),
+        # so wait_until_finished above can miss it: pruning now would keep
+        # only the newest steps on disk and then the background step would
+        # commit afterward, exceeding max_to_keep with a stale step.  Join
+        # the root's worker first so retention holds even when the two save
+        # APIs are mixed on one root.
+        bg = _BG_THREADS.get(root)
+        if bg is not None and bg is not threading.current_thread():
+            bg.join()
+            ckptr.wait_until_finished()
         prune_checkpoints(ckpt_dir, name, max_to_keep)
     return path
 

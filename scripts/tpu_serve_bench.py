@@ -51,7 +51,7 @@ CLIENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 REQS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 SEQ_REQS = 32
 MAX_BATCH = 16
-WS = os.environ.get("SERVE_BENCH_WS", "/root/repo/serve_bench_ws")
+WS = os.environ.get("SERVE_BENCH_WS", os.path.join(REPO, "serve_bench_ws"))
 
 from controlnet_tpu import config as cfgmod
 

@@ -267,6 +267,50 @@ def test_checkpoint_multihost_retention_does_not_block(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(restored["w"]), np.full((2,), 4.0))
 
 
+def test_checkpoint_mixed_api_retention_holds(tmp_path, monkeypatch):
+    """A synchronous save_checkpoint(max_to_keep=...) issued while a
+    save_checkpoint_background for the SAME root is still mid-D2H must not
+    prune around the in-flight step: without joining the root's worker the
+    main thread's wait_until_finished has nothing to wait on, prune keeps
+    only the sync step, and the background step then commits afterward —
+    leaving a stale older step on disk in excess of max_to_keep."""
+    import threading
+    import time as time_mod
+
+    import controlnet_tpu.io.checkpoint as ckpt_mod
+
+    release = threading.Event()
+
+    class _JaxProxy:
+        @staticmethod
+        def device_get(tree):  # stall the background worker pre-write
+            release.wait(timeout=30.0)
+            return jax.device_get(tree)
+
+        def __getattr__(self, attr):
+            return getattr(jax, attr)
+
+    monkeypatch.setattr(ckpt_mod, "jax", _JaxProxy())
+    ckpt_dir = str(tmp_path / "task")
+    ckpt_mod.save_checkpoint_background(ckpt_dir, "model.pth", 5,
+                                        {"w": jnp.full((2,), 5.0)})
+
+    def unblock_soon():
+        time_mod.sleep(0.3)
+        release.set()
+
+    threading.Thread(target=unblock_soon, daemon=True).start()
+    # must join the stalled worker (released 0.3s in) before pruning
+    ckpt_mod.save_checkpoint(ckpt_dir, "model.pth", 6,
+                             {"w": jnp.full((2,), 6.0)}, max_to_keep=1)
+    ckpt_mod.wait_for_checkpoints()
+    root = os.path.join(ckpt_dir, "model")
+    assert sorted(int(d) for d in os.listdir(root) if d.isdigit()) == [6]
+    restored, step = restore_checkpoint(ckpt_dir, "model.pth", {"w": jnp.zeros(2)})
+    assert step == 6
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.full((2,), 6.0))
+
+
 def test_cifar_dataset_rgb_hints(tmp_path):
     """RGB tree + RGB->gray canny hints (cifar_dataset.py:141-158)."""
     from controlnet_tpu.data.datasets import CifarDataset
