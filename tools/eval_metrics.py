@@ -56,7 +56,12 @@ def frechet_distance(mu1, cov1, mu2, cov2) -> float:
     from scipy import linalg
 
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(cov1 @ cov2, disp=False)
+    # scipy<1.16 returns (sqrtm, errest) when asked for the error estimate;
+    # the `disp` argument is deprecated (removed in 1.18), so call without it
+    # and unwrap defensively to stay portable across scipy versions.
+    covmean = linalg.sqrtm(cov1 @ cov2)
+    if isinstance(covmean, tuple):
+        covmean = covmean[0]
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * np.trace(covmean))
