@@ -1,0 +1,59 @@
+"""Evidence pin for the real-data convergence run (VERDICT r4 missing #2).
+
+The offline environment cannot download MNIST/CIFAR/CelebA-HQ, so every
+fidelity artifact before round 5 used the synthetic-shapes protocol.
+scripts/realdata_digits.py closed the gap with the one real image dataset
+present on this host: sklearn's bundled UCI handwritten digits (1,797
+genuine 8x8 scans; Alpaydin & Kaynak 1998), upsampled to 28x28 and driven
+through the UNMODIFIED mnist.yaml architecture and the standard CLI tools
+(tools.train_ddpm -> tools.sample_ddpm -> tools.train_ddpm_controlnet ->
+tools.sample_ddpm_controlnet) on the real TPU.
+
+Re-measuring needs ~45 min of exclusive TPU; this test pins the committed
+artifact so the recorded real-data evidence cannot be silently edited or
+dropped.  The runtime pipeline itself stays covered at tiny scale by the
+e2e suites (tests/test_tools_e2e.py).
+"""
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(REPO, "docs", "artifacts", "realdata_digits_r5.json")
+
+
+def test_realdata_artifact_pins_convergence():
+    assert os.path.exists(ARTIFACT), "real-data convergence artifact missing"
+    rows = json.load(open(ARTIFACT))
+
+    # the run really was real data at real scale: the full sklearn digits
+    # corpus (1,797 scans) split 1497/300, 512 generated samples scored
+    assert "load_digits" in rows["dataset"]
+    assert rows["n_train"] == 1497 and rows["n_test"] == 300
+    assert rows["n_samples"] >= 512
+    assert rows["epochs"] >= 300
+
+    ffd_gen = rows["ffd_samples_vs_test"]["ffd"]
+    ffd_floor = rows["ffd_floor_train_vs_test"]["ffd"]
+    ffd_noise = rows["ffd_noise_vs_test"]["ffd"]
+
+    # generated samples vs held-out REAL digits: at (here: below) the
+    # real-data train-vs-test floor, far from the not-converged baseline
+    assert ffd_gen <= 1.25 * ffd_floor, (ffd_gen, ffd_floor)
+    assert ffd_gen < 0.75 * ffd_noise, (ffd_gen, ffd_noise)
+    # and the context rows themselves are ordered sanely
+    assert ffd_floor < ffd_noise
+
+    # ControlNet on real test hints: canny-edge adherence near-perfect and
+    # decisively above the unconditional null (same metric, hints the
+    # samples were NOT conditioned on)
+    cn = rows["cn_hint_adherence"]
+    null = rows["null_uncond_adherence"]
+    assert cn["edge_precision"] > 0.95 and cn["edge_recall"] > 0.95, cn
+    assert cn["edge_precision"] > null["edge_precision"] + 0.2
+    assert cn["edge_recall"] > null["edge_recall"] + 0.2
+
+    # the qualitative grids referenced by BASELINE.md are committed too
+    for png in ("realdata_samples_r5.png", "realdata_cn_samples_r5.png",
+                "realdata_cn_hints_r5.png"):
+        assert os.path.exists(os.path.join(REPO, "docs", "artifacts", png)), png
