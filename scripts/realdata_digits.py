@@ -23,11 +23,20 @@ Stages (resumable; each stage is one TPU process — run serially):
           real test digits (bootstrap CIs) against the real-data noise
           floor, plus canny hint-adherence for the ControlNet samples
           (edge precision/recall vs an unconditional-sample null)
+  distill tools.train_consistency_controlnet_distilled +
+          tools.train_distribution_matching_controlnet_distilled, their
+          --mode test samplers, and tools.compare_all_controlnet_models
+          (all via the standard CLI)
+  eval_distill  1-step samples from both students on real test hints;
+          FFD vs the held-out digits + hint adherence, alongside the
+          1000-step teacher rows and the comparison tool's measured
+          timings
   all     every stage in order
 
 Env knobs: REALDATA_WS (workspace dir), REALDATA_EPOCHS (default 300),
-REALDATA_CN_EPOCHS (default 60), REALDATA_N_SAMPLES (default 512),
-REALDATA_RESULTS (artifact JSON path).
+REALDATA_CN_EPOCHS (default 60), REALDATA_CD_EPOCHS / REALDATA_DMD_EPOCHS
+(default 60 each), REALDATA_N_SAMPLES (default 512), REALDATA_RESULTS /
+REALDATA_DISTILL_RESULTS (artifact JSON paths).
 """
 
 from __future__ import annotations
@@ -44,10 +53,16 @@ WS = os.path.abspath(os.environ.get("REALDATA_WS", os.path.join(REPO, "realdata_
 EPOCHS = int(os.environ.get("REALDATA_EPOCHS", "300"))
 CN_EPOCHS = int(os.environ.get("REALDATA_CN_EPOCHS", "60"))
 N_SAMPLES = int(os.environ.get("REALDATA_N_SAMPLES", "512"))
+CD_EPOCHS = int(os.environ.get("REALDATA_CD_EPOCHS", "60"))
+DMD_EPOCHS = int(os.environ.get("REALDATA_DMD_EPOCHS", "60"))
 RESULTS = os.environ.get(
     "REALDATA_RESULTS", os.path.join(REPO, "docs", "artifacts", "realdata_digits_r5.json"))
+DISTILL_RESULTS = os.environ.get(
+    "REALDATA_DISTILL_RESULTS",
+    os.path.join(REPO, "docs", "artifacts", "realdata_distill_r5.json"))
 TEST_PER_CLASS = 30
 SAMPLE_BATCH = int(os.environ.get("REALDATA_SAMPLE_BATCH", "64"))
+N_DISTILL = int(os.environ.get("REALDATA_N_DISTILL", "256"))
 
 
 def _write_config() -> str:
@@ -87,9 +102,9 @@ train_params:
   controlnet_lr: 0.0001
   ddpm_ckpt_name: 'ddpm_ckpt.pth'
   controlnet_ckpt_name: 'ddpm_controlnet_ckpt.pth'
-  consistency_epochs: 20
+  consistency_epochs: {CD_EPOCHS}
   consistency_lr: 0.0001
-  distribution_matching_epochs: 20
+  distribution_matching_epochs: {DMD_EPOCHS}
   distribution_matching_lr: 0.00005
   ckpt_save_every_epochs: 25
 """
@@ -277,8 +292,114 @@ def stage_eval():
     print(json.dumps(rows, indent=2))
 
 
+def stage_distill():
+    _run_tool("tools.train_consistency_controlnet_distilled")
+    _run_tool("tools.sample_consistency_controlnet_distilled",
+              "--mode", "test", "--num_samples", "10")
+    _run_tool("tools.train_distribution_matching_controlnet_distilled")
+    _run_tool("tools.sample_distribution_matching_controlnet_distilled",
+              "--mode", "test", "--num_samples", "10")
+    _run_tool("tools.compare_all_controlnet_models", "--num_samples", "5")
+
+
+def _sample_students(hints: "np.ndarray") -> "dict[str, np.ndarray]":
+    """N_DISTILL single-step samples per distilled student, real test hints."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from controlnet_tpu import config as cfg
+    from controlnet_tpu.models.consistency import ConsistencyDistilled
+    from controlnet_tpu.models.dmd import DistributionMatchingControlNet
+    from tools.sample_consistency_controlnet_distilled import (
+        load_student as load_cd_student)
+    from tools.sample_distribution_matching_controlnet_distilled import (
+        load_student as load_dmd_student)
+
+    config = cfg.load_config(os.path.join(WS, "digits.yaml"))
+    mc = cfg.model_params(config)
+    dc = cfg.diffusion_params(config)
+    tc = cfg.train_params(config)
+    im_size, im_ch = mc["im_size"], mc["im_channels"]
+
+    cd = ConsistencyDistilled(im_ch, mc, use_ddpm_teacher=False)
+    cd_params = load_cd_student(tc["task_name"], cd)
+    dmd = DistributionMatchingControlNet(im_ch, mc)
+    dmd_params = load_dmd_student(tc["task_name"], dmd, use_best=True)
+
+    cd_gen = jax.jit(lambda p, h, k: cd.generate(
+        {"student": p}, h, (h.shape[0], im_size, im_size, im_ch), k, num_steps=1))
+
+    T = dc["num_timesteps"]
+
+    @jax.jit
+    def dmd_gen(p, h, k):
+        x_t = jax.random.normal(k, (h.shape[0], im_size, im_size, im_ch))
+        t = jnp.full((h.shape[0],), T - 1, jnp.int32)
+        return dmd(p, x_t, t, h)
+
+    out = {"consistency": [], "dmd": []}
+    for b0 in range(0, len(hints), SAMPLE_BATCH):
+        hb = jnp.asarray(hints[b0:b0 + SAMPLE_BATCH])
+        k = jax.random.PRNGKey(5000 + b0)
+        out["consistency"].append(np.asarray(cd_gen(cd_params, hb, k)))
+        out["dmd"].append(np.asarray(dmd_gen(dmd_params, hb, k)))
+    return {name: np.concatenate(chunks) for name, chunks in out.items()}
+
+
+def stage_eval_distill():
+    import numpy as np
+
+    from tools.eval_metrics import ffd_with_ci
+    from tools.sample_ddpm_controlnet import gather_test_hints
+
+    from controlnet_tpu import cli, config as cfg
+
+    cli.setup_jax()
+    test = _load_real("test")
+    config = cfg.load_config(os.path.join(WS, "digits.yaml"))
+    test_ds = cli.build_dataset("mnist", cfg.dataset_params(config), "test",
+                                return_hints=True)
+    hints = gather_test_hints(test_ds, N_DISTILL, seed=0)
+    students = _sample_students(hints)
+
+    rows: dict = {"n_test": int(len(test)), "n_samples": int(N_DISTILL),
+                  "cd_epochs": CD_EPOCHS, "dmd_epochs": DMD_EPOCHS,
+                  "steps_per_sample": 1}
+    for name, samples in students.items():
+        rows[name] = {
+            "ffd_vs_test": ffd_with_ci(samples, test, 1),
+            "hint_adherence": _edge_agreement(samples, hints),
+        }
+
+    # context rows from the teacher-stage artifact (1000-step DDPM numbers
+    # on the same data), if it exists
+    if os.path.exists(RESULTS):
+        teacher = json.load(open(RESULTS))
+        rows["context_teacher_1000step"] = {
+            "ffd_samples_vs_test": teacher["ffd_samples_vs_test"],
+            "ffd_floor_train_vs_test": teacher["ffd_floor_train_vs_test"],
+            "ffd_noise_vs_test": teacher["ffd_noise_vs_test"],
+            "cn_hint_adherence": teacher["cn_hint_adherence"],
+            "null_uncond_adherence": teacher["null_uncond_adherence"],
+        }
+
+    # the comparison tool's measured per-model timings on these real-data
+    # checkpoints (written by stage distill)
+    perf = os.path.join(WS, "run", "all_model_comparison",
+                        "performance_metrics.txt")
+    if os.path.exists(perf):
+        rows["compare_tool_metrics"] = open(perf).read().splitlines()
+
+    os.makedirs(os.path.dirname(DISTILL_RESULTS), exist_ok=True)
+    with open(DISTILL_RESULTS, "w") as f:
+        json.dump(rows, f, indent=2)
+    print(json.dumps(rows, indent=2))
+
+
 STAGES = {"data": stage_data, "train": stage_train, "sample": stage_sample,
-          "cn": stage_cn, "eval": stage_eval}
+          "cn": stage_cn, "eval": stage_eval,
+          "distill": stage_distill, "eval_distill": stage_eval_distill}
 
 
 def main():
