@@ -20,6 +20,8 @@ import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACT = os.path.join(REPO, "docs", "artifacts", "realdata_digits_r5.json")
+DISTILL_ARTIFACT = os.path.join(
+    REPO, "docs", "artifacts", "realdata_distill_r5.json")
 
 
 def test_realdata_artifact_pins_convergence():
@@ -57,3 +59,49 @@ def test_realdata_artifact_pins_convergence():
     for png in ("realdata_samples_r5.png", "realdata_cn_samples_r5.png",
                 "realdata_cn_hints_r5.png"):
         assert os.path.exists(os.path.join(REPO, "docs", "artifacts", png)), png
+
+
+def test_realdata_distill_artifact_pins_students():
+    """Pin the real-data distillation stage (both 1-step students).
+
+    Run recorded here: consistency + DMD students distilled for 60 epochs
+    each from the real-data ControlNet teacher, through the standard
+    unmodified CLI trainers/samplers on the v5e; 256 single-step samples
+    per student scored against 300 held-out real digits on real test hints.
+    """
+    assert os.path.exists(DISTILL_ARTIFACT), "real-data distill artifact missing"
+    rows = json.load(open(DISTILL_ARTIFACT))
+    assert rows["steps_per_sample"] == 1
+    assert rows["n_samples"] >= 256 and rows["n_test"] == 300
+    assert rows["cd_epochs"] >= 60 and rows["dmd_epochs"] >= 60
+
+    teacher = rows["context_teacher_1000step"]
+    noise = teacher["ffd_noise_vs_test"]["ffd"]
+    null = teacher["null_uncond_adherence"]
+
+    # DMD student (x0-predicting, zero-init hint block): 1-step samples are
+    # decisively on the data side of the noise baseline and follow the real
+    # test hints nearly as tightly as the 1000-step teacher.
+    dmd = rows["dmd"]
+    assert dmd["ffd_vs_test"]["ffd"] < 0.9 * noise, (dmd, noise)
+    assert dmd["hint_adherence"]["edge_precision"] > 0.9
+    assert dmd["hint_adherence"]["edge_recall"] > 0.9
+    assert dmd["hint_adherence"]["edge_precision"] > null["edge_precision"] + 0.2
+
+    # Consistency student: at this budget (60 epochs, 1.5k images) it tracks
+    # the hints (recall ~0.99, i.e. every real edge is reproduced) but over-
+    # produces edges (precision ~0.49) and its FFD stays above the noise
+    # baseline — recorded honestly as the weaker 1-step student on real
+    # data, consistent with its non-zero-init hint block (reference quirk
+    # preserved per SURVEY §7). Pin the measured behavior, not a hoped-for
+    # one, so future changes that IMPROVE it surface as a test update.
+    cd = rows["consistency"]
+    assert cd["hint_adherence"]["edge_recall"] > 0.9
+    assert cd["ffd_vs_test"]["ffd"] < 2.5
+    # DMD is the better real-data 1-step student on both axes
+    assert dmd["ffd_vs_test"]["ffd"] < cd["ffd_vs_test"]["ffd"]
+    assert (dmd["hint_adherence"]["edge_precision"]
+            > cd["hint_adherence"]["edge_precision"])
+
+    # the comparison tool's measured timings on these checkpoints rode along
+    assert any("speedup" in line for line in rows["compare_tool_metrics"])
