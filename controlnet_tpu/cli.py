@@ -141,6 +141,22 @@ def sampler_mesh(num_samples: int):
     return mesh, padded
 
 
+def add_sampler_args(parser) -> None:
+    """Shared sampler-selection flags for the four sample tools (additive
+    over the reference CLI surface, which is ancestral-only).
+
+    ``--sampler ddim --sampler_steps N`` runs the few-step DDIM loop
+    (sample/ddim.py) on the same checkpoint; default stays the reference's
+    1000-step ancestral sampler, artifact-identical."""
+    parser.add_argument("--sampler", choices=["ancestral", "ddim"], default="ancestral",
+                        help="ancestral (reference parity) or few-step ddim")
+    parser.add_argument("--sampler_steps", type=int, default=50,
+                        help="DDIM step count (--sampler ddim only)")
+    parser.add_argument("--eta", type=float, default=0.0,
+                        help="DDIM stochasticity; 0 = deterministic "
+                             "(--sampler ddim only)")
+
+
 def compute_dtype_from(train_config: dict):
     """Additive YAML key ``train_params.compute_dtype`` ("bfloat16" |
     "float32"): mixed-precision training compute dtype.  None (absent or

@@ -124,6 +124,8 @@ def make_ldm_sampler(
     latent_shape: tuple[int, ...],
     record_every: int = 1,
     mesh=None,
+    ddim_steps: int | None = None,
+    eta: float = 0.0,
 ):
     """Latent-space sampler: scan in latent space, VAE-decode only the final
     x_0 on device (the reference decodes only at t==0 as well,
@@ -133,9 +135,20 @@ def make_ldm_sampler(
     ``sampler(unet_params, vae_params, key[, hint]) ->
        (decoded images, latent trajectory)``.  ``mesh`` shards the batch
     over the data axis (denoise AND decode stay batch-parallel).
+
+    ``ddim_steps`` switches the latent loop to the few-step DDIM sampler
+    (sample/ddim.py; ``eta`` per ddim_step) — same checkpoint, 10-50x fewer
+    UNet evaluations; ``record_every`` is ignored in that mode (one snapshot
+    per DDIM step).
     """
-    latent_sampler = make_ddpm_sampler(eps_fn, sched, latent_shape, record_every,
-                                       mesh=mesh)
+    if ddim_steps is not None:
+        from controlnet_tpu.sample.ddim import make_ddim_sampler
+
+        latent_sampler = make_ddim_sampler(eps_fn, sched, latent_shape,
+                                           num_steps=ddim_steps, eta=eta, mesh=mesh)
+    else:
+        latent_sampler = make_ddpm_sampler(eps_fn, sched, latent_shape, record_every,
+                                           mesh=mesh)
 
     def sampler(unet_params, vae_params, key, hint=None):
         z0, traj = latent_sampler(unet_params, key, hint)

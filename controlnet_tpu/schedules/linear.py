@@ -89,6 +89,55 @@ def eps_to_x0(sched: LinearSchedule, xt: jax.Array, noise_pred: jax.Array, t: ja
     return jnp.clip(x0, -1.0, 1.0)
 
 
+def ddim_step(
+    sched: LinearSchedule,
+    xt: jax.Array,
+    noise_pred: jax.Array,
+    t: jax.Array,
+    t_prev: jax.Array,
+    key: jax.Array,
+    eta: float = 0.0,
+    clip_x0: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """One DDIM step from timestep ``t`` to ``t_prev`` (Song et al. 2021, eq. 12).
+
+    Additive capability over the reference (which only implements ancestral
+    sampling, linear_noise_scheduler.py:49-77): the same trained
+    eps-prediction checkpoints sample in far fewer steps.  ``t_prev == -1``
+    denotes the final step (alpha_bar_prev = 1, so x_prev = x0 exactly and
+    the noise term vanishes).
+
+    * ``eta = 0`` is deterministic DDIM.
+    * ``eta = 1`` with the full step sequence (t_prev = t-1) reproduces the
+      ancestral sampler's transition exactly: sigma^2 collapses to the DDPM
+      posterior variance (1-acp[t-1])/(1-acp[t]) * beta_t and the mean terms
+      are algebraically the ancestral posterior mean (pinned by
+      tests/test_ddim.py::test_eta1_fullsteps_matches_ancestral_step).
+
+    ``clip_x0`` additionally clamps the x0 estimate used in the update to
+    [-1, 1] (a common stabilizer at very few steps); off by default so the
+    eta=1 equivalence above is exact.  Returns (x_prev, clamped x0 estimate).
+    """
+    t = jnp.asarray(t, dtype=jnp.int32)
+    t_prev = jnp.asarray(t_prev, dtype=jnp.int32)
+    acp_t = sched.alpha_cum_prod[t]
+    # t_prev == -1 means "fully denoised": alpha_bar_{-1} := 1.
+    acp_prev = jnp.where(t_prev >= 0, sched.alpha_cum_prod[jnp.maximum(t_prev, 0)], 1.0)
+
+    x0 = (xt - jnp.sqrt(1.0 - acp_t) * noise_pred) / jnp.sqrt(acp_t)
+    x0_update = jnp.clip(x0, -1.0, 1.0) if clip_x0 else x0
+
+    sigma = eta * jnp.sqrt((1.0 - acp_prev) / (1.0 - acp_t)) * jnp.sqrt(
+        1.0 - acp_t / acp_prev)
+    # direction pointing to x_t; the max() guards float cancellation at
+    # sigma^2 ~ (1 - acp_prev)
+    dir_xt = jnp.sqrt(jnp.maximum(1.0 - acp_prev - sigma**2, 0.0)) * noise_pred
+
+    z = jax.random.normal(key, xt.shape, dtype=xt.dtype)
+    x_prev = jnp.sqrt(acp_prev) * x0_update + dir_xt + sigma * z
+    return x_prev, jnp.clip(x0, -1.0, 1.0)
+
+
 def sample_prev_timestep(
     sched: LinearSchedule,
     xt: jax.Array,

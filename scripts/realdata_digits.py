@@ -23,6 +23,10 @@ Stages (resumable; each stage is one TPU process — run serially):
           real test digits (bootstrap CIs) against the real-data noise
           floor, plus canny hint-adherence for the ControlNet samples
           (edge precision/recall vs an unconditional-sample null)
+  eval_ddim  few-step DDIM sampling (sample/ddim.py) from the SAME trained
+          DDPM + ControlNet checkpoints: FFD vs the held-out real digits and
+          hint adherence across a step-count ladder, with measured
+          seconds/batch vs the 1000-step ancestral sampler
   distill tools.train_consistency_controlnet_distilled +
           tools.train_distribution_matching_controlnet_distilled, their
           --mode test samplers, and tools.compare_all_controlnet_models
@@ -292,6 +296,152 @@ def stage_eval():
     print(json.dumps(rows, indent=2))
 
 
+def _sample_uncond_timed(n: int, ddim_steps: int | None, eta: float = 0.0):
+    """n unconditional samples from the trained DDPM ckpt; per-batch seconds.
+
+    ``ddim_steps=None`` runs the 1000-step ancestral sampler (the teacher
+    convention), else the few-step DDIM loop — both are ONE jit execution
+    per batch (the whole scan), so the wall-clock per batch is a sound
+    timing (verify-skill timing trap: per-op dispatch timing is not).
+    The first batch includes compile and is reported separately.
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    from controlnet_tpu import config as cfg
+    from controlnet_tpu.models.unet import UNet
+    from controlnet_tpu.sample.ddim import make_ddim_sampler
+    from controlnet_tpu.sample.ddpm import make_ddpm_sampler
+    from controlnet_tpu.schedules.linear import make_linear_schedule
+    from tools.sample_ddpm import load_unet_params
+
+    config = cfg.load_config(os.path.join(WS, "digits.yaml"))
+    mc = cfg.model_params(config)
+    dc = cfg.diffusion_params(config)
+    sched = make_linear_schedule(dc["num_timesteps"], dc["beta_start"], dc["beta_end"])
+    unet = UNet(mc["im_channels"], mc)
+    params = load_unet_params(cfg.train_params(config)["task_name"],
+                              cfg.train_params(config)["ddpm_ckpt_name"], unet)
+    shape = (SAMPLE_BATCH, mc["im_size"], mc["im_size"], mc["im_channels"])
+    if ddim_steps is None:
+        sampler = make_ddpm_sampler(lambda p, x, t: unet(p, x, t), sched, shape,
+                                    record_every=dc["num_timesteps"])
+    else:
+        sampler = make_ddim_sampler(lambda p, x, t: unet(p, x, t), sched, shape,
+                                    num_steps=ddim_steps, eta=eta)
+    outs, secs = [], []
+    for b0 in range(0, n, SAMPLE_BATCH):
+        t0 = time.perf_counter()
+        x0, _ = sampler(params, jax.random.PRNGKey(1000 + b0))
+        outs.append(np.asarray(jax.device_get(x0)))  # fetch = the only sound sync
+        secs.append(time.perf_counter() - t0)
+        print(f"[{'ancestral' if ddim_steps is None else f'ddim{ddim_steps}'}]"
+              f" sampled {min(b0 + SAMPLE_BATCH, n)}/{n}"
+              f" ({secs[-1]:.2f}s/batch)", flush=True)
+    return np.concatenate(outs)[:n], secs
+
+
+def _sample_cn_ddim(hints: "np.ndarray", ddim_steps: int) -> "np.ndarray":
+    """Hint-conditioned DDIM samples from the real-data ControlNet ckpt."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from controlnet_tpu import config as cfg
+    from controlnet_tpu.models.controlnet import ControlNet
+    from controlnet_tpu.sample.ddim import make_ddim_sampler
+    from controlnet_tpu.schedules.linear import make_linear_schedule
+    from tools.train_ddpm_controlnet import load_controlnet_params
+
+    config = cfg.load_config(os.path.join(WS, "digits.yaml"))
+    mc = cfg.model_params(config)
+    dc = cfg.diffusion_params(config)
+    tc = cfg.train_params(config)
+    sched = make_linear_schedule(dc["num_timesteps"], dc["beta_start"], dc["beta_end"])
+    cn = ControlNet(mc["im_channels"], mc, model_locked=True)
+    params = load_controlnet_params(tc["task_name"], tc["controlnet_ckpt_name"], cn,
+                                    fallback_unet_ckpt=tc["ddpm_ckpt_name"])
+    shape = (len(hints), mc["im_size"], mc["im_size"], mc["im_channels"])
+    hint_feats = jax.jit(cn.hint_features)(params, jnp.asarray(hints))
+    sampler = make_ddim_sampler(lambda p, x, t, f: cn(p, x, t, hint_features=f),
+                                sched, shape, num_steps=ddim_steps)
+    x0, _ = sampler(params, jax.random.PRNGKey(7), hint_feats)
+    return np.asarray(jax.device_get(x0))
+
+
+def stage_eval_ddim():
+    """Few-step DDIM from the SAME real-data checkpoints: quality ladder +
+    measured speed vs the 1000-step ancestral sampler (additive capability
+    over the reference's ancestral-only sampling)."""
+    import numpy as np
+
+    from tools.eval_metrics import ffd_with_ci
+    from tools.sample_ddpm_controlnet import gather_test_hints
+
+    from controlnet_tpu import cli, config as cfg
+
+    cli.setup_jax()
+    test = _load_real("test")
+    steps_ladder = [int(s) for s in os.environ.get(
+        "REALDATA_DDIM_STEPS", "10,25,50,100").split(",")]
+
+    rows: dict = {"n_test": int(len(test)), "n_samples": int(N_SAMPLES),
+                  "batch": SAMPLE_BATCH, "eta": 0.0,
+                  "per_batch_seconds_note":
+                      "first batch includes jit compile; steady = median of the rest"}
+
+    # ancestral timing context on the same ckpt/protocol (FFD context comes
+    # from the committed stage-eval artifact: same ckpt, same test split)
+    anc_n = min(N_SAMPLES, 2 * SAMPLE_BATCH)
+    _, anc_secs = _sample_uncond_timed(anc_n, None)
+    rows["ancestral_1000step"] = {
+        "per_batch_seconds": [round(s, 3) for s in anc_secs],
+        "steady_sec_per_batch": float(np.median(anc_secs[1:]) if len(anc_secs) > 1
+                                      else anc_secs[0]),
+    }
+    if os.path.exists(RESULTS):
+        teacher = json.load(open(RESULTS))
+        rows["ancestral_1000step"]["ffd_vs_test"] = teacher["ffd_samples_vs_test"]
+        rows["context_floor"] = teacher["ffd_floor_train_vs_test"]
+        rows["context_noise"] = teacher["ffd_noise_vs_test"]
+
+    rows["ddim"] = {}
+    for steps in steps_ladder:
+        samples, secs = _sample_uncond_timed(N_SAMPLES, steps)
+        rows["ddim"][str(steps)] = {
+            "ffd_vs_test": ffd_with_ci(samples, test, 1),
+            "per_batch_seconds": [round(s, 3) for s in secs],
+            "steady_sec_per_batch": float(np.median(secs[1:]) if len(secs) > 1
+                                          else secs[0]),
+        }
+        print(f"ddim {steps}-step: FFD {rows['ddim'][str(steps)]['ffd_vs_test']}",
+              flush=True)
+
+    # ControlNet leg: DDIM 50-step on real test hints, hint adherence vs the
+    # committed 1000-step ControlNet row
+    config = cfg.load_config(os.path.join(WS, "digits.yaml"))
+    test_ds = cli.build_dataset("mnist", cfg.dataset_params(config), "test",
+                                return_hints=True)
+    hints = gather_test_hints(test_ds, SAMPLE_BATCH, seed=0)
+    cn_steps = int(os.environ.get("REALDATA_DDIM_CN_STEPS", "50"))
+    cn_samples = _sample_cn_ddim(hints, cn_steps)
+    rows["cn_ddim"] = {"steps": cn_steps,
+                       "hint_adherence": _edge_agreement(cn_samples, hints)}
+    if os.path.exists(RESULTS):
+        rows["cn_ddim"]["context_ancestral_adherence"] = (
+            json.load(open(RESULTS))["cn_hint_adherence"])
+
+    out = os.environ.get("REALDATA_DDIM_RESULTS",
+                         os.path.join(REPO, "docs", "artifacts",
+                                      "realdata_ddim_r5.json"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=2)
+    print(json.dumps(rows, indent=2))
+
+
 def stage_distill():
     _run_tool("tools.train_consistency_controlnet_distilled")
     _run_tool("tools.sample_consistency_controlnet_distilled",
@@ -398,7 +548,7 @@ def stage_eval_distill():
 
 
 STAGES = {"data": stage_data, "train": stage_train, "sample": stage_sample,
-          "cn": stage_cn, "eval": stage_eval,
+          "cn": stage_cn, "eval": stage_eval, "eval_ddim": stage_eval_ddim,
           "distill": stage_distill, "eval_distill": stage_eval_distill}
 
 

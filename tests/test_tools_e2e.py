@@ -79,6 +79,30 @@ def test_train_then_resume_then_sample(tiny_workspace):
     assert len(grids) == 2  # 8 steps / save_every 4
 
 
+def test_sample_ddim_mode(tiny_workspace):
+    """--sampler ddim runs the few-step loop through the same tool and names
+    the step grids by the visited timestep subsequence."""
+    from controlnet_tpu.io.checkpoint import latest_checkpoint as _latest
+    from tools.sample_ddpm import sample
+    from tools.train_ddpm import train as train_ddpm
+
+    args = types.SimpleNamespace(config_path=tiny_workspace.config_path)
+    if _latest(tiny_workspace.task, "ddpm_ckpt.pth") is None:  # run-alone support
+        train_ddpm(args)
+
+    out_dir = os.path.join(tiny_workspace.task, "samples")
+    for old in glob.glob(os.path.join(out_dir, "x0_*.png")):
+        os.remove(old)
+    sargs = types.SimpleNamespace(config_path=tiny_workspace.config_path,
+                                  num_samples=4, save_every=1, seed=0,
+                                  sampler="ddim", sampler_steps=4, eta=0.0)
+    sample(sargs)
+    grids = sorted(glob.glob(os.path.join(out_dir, "x0_*.png")))
+    assert len(grids) == 4  # one grid per DDIM step, T=8 subsequence
+    assert os.path.join(out_dir, "x0_0.png") in grids  # final step lands at t=0
+    assert os.path.join(out_dir, "x0_7.png") in grids  # first step starts at T-1
+
+
 def test_controlnet_train_and_sample(tiny_workspace):
     from controlnet_tpu.io.checkpoint import latest_checkpoint as _latest
     from tools.sample_ddpm_controlnet import sample

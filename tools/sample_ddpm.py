@@ -68,19 +68,32 @@ def sample(args):
 
     T = sched.num_timesteps
     record_every = max(1, args.save_every)
-    sampler = make_ddpm_sampler(
-        lambda p, x, t: unet(p, x, t), sched, shape, record_every=record_every,
-        mesh=mesh,
-    )
+    # getattr: in-process callers (tests, scripts) pass SimpleNamespaces
+    # predating these flags
+    if getattr(args, "sampler", "ancestral") == "ddim":
+        from controlnet_tpu.sample.ddim import make_ddim_sampler
+
+        sampler = make_ddim_sampler(
+            lambda p, x, t: unet(p, x, t), sched, shape,
+            num_steps=args.sampler_steps, eta=args.eta, mesh=mesh,
+        )
+        step_ts = sampler.timesteps
+    else:
+        sampler = make_ddpm_sampler(
+            lambda p, x, t: unet(p, x, t), sched, shape, record_every=record_every,
+            mesh=mesh,
+        )
+        step_ts = None
     params = cli.put_replicated(params, mesh)
     x0, traj = sampler(params, jax.random.PRNGKey(args.seed))
     traj = np.asarray(jax.device_get(traj))[:, :num_samples]
 
     out_dir = os.path.join(task_name, "samples")
     os.makedirs(out_dir, exist_ok=True)
-    # snapshot k (0-based) is the state after denoising step at t = T-1-k*re
+    # snapshot k (0-based) is the state after the denoising step at t =
+    # T-1-k*re (ancestral) / step_ts[k] (ddim subsequence)
     for k in range(traj.shape[0]):
-        t = T - 1 - (k * record_every + record_every - 1)
+        t = step_ts[k] if step_ts is not None else T - 1 - (k * record_every + record_every - 1)
         save_image_grid((traj[k] + 1.0) / 2.0, os.path.join(out_dir, f"x0_{t}.png"), nrow=nrow)
     print(f"Wrote {traj.shape[0]} step grids to {out_dir}")
 
@@ -92,4 +105,5 @@ if __name__ == "__main__":
     parser.add_argument("--save_every", type=int, default=1,
                         help="record every Nth denoising step (1 = reference parity)")
     parser.add_argument("--seed", type=int, default=0)
+    cli.add_sampler_args(parser)
     sample(parser.parse_args())

@@ -73,15 +73,27 @@ def sample(args):
     # attention batching (see tools/sample_ldm_controlnet.py) — same math,
     # scheduling only.
     fwd = cn.forward_paired if tuning.get("forward") == "paired" else cn
-    sampler = make_ddpm_sampler(
-        lambda p, x, t, f: fwd(p, x, t, hint_features=f), sched, shape,
-        record_every=record_every, mesh=mesh,
-    )
+    # getattr: in-process callers (tests, scripts) pass SimpleNamespaces
+    # predating these flags
+    if getattr(args, "sampler", "ancestral") == "ddim":
+        from controlnet_tpu.sample.ddim import make_ddim_sampler
+
+        sampler = make_ddim_sampler(
+            lambda p, x, t, f: fwd(p, x, t, hint_features=f), sched, shape,
+            num_steps=args.sampler_steps, eta=args.eta, mesh=mesh,
+        )
+        step_ts = sampler.timesteps
+    else:
+        sampler = make_ddpm_sampler(
+            lambda p, x, t, f: fwd(p, x, t, hint_features=f), sched, shape,
+            record_every=record_every, mesh=mesh,
+        )
+        step_ts = None
     x0, traj = sampler(params, jax.random.PRNGKey(args.seed), hint_feats)
     traj = np.asarray(jax.device_get(traj))[:, :num_samples]
     T = sched.num_timesteps
     for k in range(traj.shape[0]):
-        t = T - 1 - (k * record_every + record_every - 1)
+        t = step_ts[k] if step_ts is not None else T - 1 - (k * record_every + record_every - 1)
         save_image_grid((traj[k] + 1.0) / 2.0, os.path.join(out_dir, f"x0_{t}.png"), nrow=nrow)
     print(f"Wrote hint grid + {traj.shape[0]} step grids to {out_dir}")
 
@@ -92,4 +104,5 @@ if __name__ == "__main__":
     parser.add_argument("--num_samples", type=int, default=None)
     parser.add_argument("--save_every", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
+    cli.add_sampler_args(parser)
     sample(parser.parse_args())

@@ -21,6 +21,7 @@ from controlnet_tpu.data.datasets import CelebDataset
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.controlnet import ControlNet
 from controlnet_tpu.models.vae import VAE
+from controlnet_tpu.sample.ddim import ddim_timesteps
 from controlnet_tpu.sample.ddpm import make_ldm_sampler
 from controlnet_tpu.schedules.linear import make_linear_schedule
 from tools.infer_vae import load_vae_params
@@ -86,17 +87,24 @@ def sample(args):
     # one kernel call (forward_paired) — same math, scheduling only (see
     # scripts/tpu_paired_attn_ab.py).
     fwd = cn.forward_paired if tuning.get("forward") == "paired" else cn
+    # getattr: in-process callers (tests, scripts) pass SimpleNamespaces
+    # predating the ddim flags
+    ddim = getattr(args, "sampler", "ancestral") == "ddim"
     sampler = make_ldm_sampler(
         lambda p, x, t, f: fwd(p, x, t, hint_features=f), lambda p, zz: vae.decode(p, zz),
         sched, shape, record_every=record_every, mesh=mesh,
+        ddim_steps=args.sampler_steps if ddim else None,
+        eta=args.eta if ddim else 0.0,
     )
+    step_ts = (ddim_timesteps(sched.num_timesteps, args.sampler_steps).tolist()
+               if ddim else None)
     images, traj = sampler(params, vae_params, jax.random.PRNGKey(args.seed), hint_feats)
     images = np.asarray(jax.device_get(images))[:num_samples]
     traj = np.asarray(jax.device_get(traj))[:, :num_samples]
 
     T = sched.num_timesteps
     for k in range(traj.shape[0]):
-        t = T - 1 - (k * record_every + record_every - 1)
+        t = step_ts[k] if step_ts is not None else T - 1 - (k * record_every + record_every - 1)
         save_image_grid((traj[k][..., :1] + 1.0) / 2.0,
                         os.path.join(out_dir, f"x0_{t}.png"), nrow=nrow)
     save_image_grid((images + 1.0) / 2.0, os.path.join(out_dir, "final_decoded.png"), nrow=nrow)
@@ -109,4 +117,5 @@ if __name__ == "__main__":
     parser.add_argument("--num_samples", type=int, default=None)
     parser.add_argument("--save_every", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
+    cli.add_sampler_args(parser)
     sample(parser.parse_args())

@@ -19,6 +19,7 @@ from controlnet_tpu import cli, config as cfg
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.unet import UNet
 from controlnet_tpu.models.vae import VAE
+from controlnet_tpu.sample.ddim import ddim_timesteps
 from controlnet_tpu.sample.ddpm import make_ldm_sampler
 from controlnet_tpu.schedules.linear import make_linear_schedule
 from tools.infer_vae import load_vae_params
@@ -69,10 +70,17 @@ def sample(args):
     record_every = max(1, args.save_every)
     unet_params = cli.put_replicated(unet_params, mesh)
     vae_params = cli.put_replicated(vae_params, mesh)
+    # getattr: in-process callers (tests, scripts) pass SimpleNamespaces
+    # predating the ddim flags
+    ddim = getattr(args, "sampler", "ancestral") == "ddim"
     sampler = make_ldm_sampler(
         lambda p, x, t: unet(p, x, t), lambda p, zz: vae.decode(p, zz),
         sched, shape, record_every=record_every, mesh=mesh,
+        ddim_steps=args.sampler_steps if ddim else None,
+        eta=args.eta if ddim else 0.0,
     )
+    step_ts = (ddim_timesteps(sched.num_timesteps, args.sampler_steps).tolist()
+               if ddim else None)
     images, traj = sampler(unet_params, vae_params, jax.random.PRNGKey(args.seed))
     images = np.asarray(jax.device_get(images))[:num_samples]
     traj = np.asarray(jax.device_get(traj))[:, :num_samples]
@@ -81,7 +89,7 @@ def sample(args):
     os.makedirs(out_dir, exist_ok=True)
     T = sched.num_timesteps
     for k in range(traj.shape[0]):
-        t = T - 1 - (k * record_every + record_every - 1)
+        t = step_ts[k] if step_ts is not None else T - 1 - (k * record_every + record_every - 1)
         # latent channel-0 visualization, normalized like the reference's
         # clamped latent grids
         save_image_grid((traj[k][..., :1] + 1.0) / 2.0,
@@ -96,4 +104,5 @@ if __name__ == "__main__":
     parser.add_argument("--num_samples", type=int, default=None)
     parser.add_argument("--save_every", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
+    cli.add_sampler_args(parser)
     sample(parser.parse_args())
