@@ -75,6 +75,42 @@ def bench_ours() -> float:
     return BATCH / dt
 
 
+def bench_ddim() -> dict | None:
+    """Few-step DDIM leg (additive, round 5): the SAME flagship MNIST UNet
+    sampled with the 50-step DDIM loop (sample/ddim.py) instead of the
+    1000-step ancestral scan — the serving-oriented few-step capability.
+    Additive extras keys; failure must not disturb the primary metric."""
+    try:
+        import jax
+
+        from controlnet_tpu.models.unet import UNet
+        from controlnet_tpu.sample.ddim import make_ddim_sampler
+        from controlnet_tpu.schedules.linear import make_linear_schedule
+
+        steps = int(os.environ.get("BENCH_DDIM_STEPS", "50"))
+        model_config = dict(
+            im_channels=1, im_size=28, hint_channels=3,
+            down_channels=[32, 64, 128, 256], mid_channels=[256, 256, 128],
+            down_sample=[True, True, False], time_emb_dim=128,
+            num_down_layers=2, num_mid_layers=2, num_up_layers=2, num_heads=4,
+        )
+        sched = make_linear_schedule(STEPS, 1e-4, 0.02)
+        unet = UNet(1, model_config)
+        params = unet.init(jax.random.PRNGKey(0))
+        sampler = make_ddim_sampler(lambda p, x, t: unet(p, x, t), sched,
+                                    (BATCH, 28, 28, 1), num_steps=steps)
+        jax.block_until_ready(sampler(params, jax.random.PRNGKey(1))[0])
+        t0 = time.time()
+        x0, _ = sampler(params, jax.random.PRNGKey(2))
+        jax.block_until_ready(x0)
+        dt = time.time() - t0
+        return {"mnist_ddim_steps": steps,
+                f"mnist_ddim{steps}_samples_per_sec_chip": round(BATCH / dt, 2)}
+    except Exception as e:  # pragma: no cover
+        print(f"# ddim bench unavailable: {e}", file=sys.stderr)
+        return None
+
+
 def bench_north_star() -> dict | None:
     """CelebHQ LDM ControlNet 1000-step sampling (the BASELINE north-star
     config): batch 4, 32x32x4 latents, full-res 1024^2 canny hints with the
@@ -203,6 +239,7 @@ def bench_reference_torch() -> float | None:
 def main():
     ours = bench_ours()
     north = None if os.environ.get("BENCH_SKIP_NORTH_STAR") == "1" else bench_north_star()
+    ddim = None if os.environ.get("BENCH_SKIP_DDIM") == "1" else bench_ddim()
     ref = bench_reference_torch()
     vs = (ours / ref) if ref else None
     record = {
@@ -215,10 +252,11 @@ def main():
         # has the idealized-H100 accounting)
         "baseline": "host-cpu-torch-reference",
     }
-    if north:
+    if north or ddim:
         # North-star config (BASELINE.md): CelebHQ LDM ControlNet 1000-step
-        # sampling, batch 4, full-res hints, bf16 — same JSON line.
-        record["extras"] = north
+        # sampling, batch 4, full-res hints, bf16 — same JSON line.  Plus
+        # the additive few-step DDIM leg (round 5).
+        record["extras"] = {**(north or {}), **(ddim or {})}
     print(json.dumps(record))
 
 

@@ -253,6 +253,64 @@ def test_serve_distilled_model_concurrent_load(ws):
         server.server_close()
 
 
+def test_serve_ddim_controlnet(ws):
+    """--model ddim_controlnet serves the NON-distilled ControlNet teacher
+    checkpoint with few-step DDIM (?steps= = DDIM step count) — quality-
+    adjustable serving with no extra training, through the same batching
+    stack as the students."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    import numpy as np
+    from PIL import Image
+
+    import tools.serve as serve_mod
+    from controlnet_tpu import config as cfgmod
+
+    config = cfgmod.load_config(ws.config_path)
+    args = types.SimpleNamespace(config_path=ws.config_path, model="ddim_controlnet",
+                                 host="127.0.0.1", port=0, seed=0, max_batch=2,
+                                 max_steps=8)
+    server = serve_mod.make_server(args, config)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        health = json.loads(urllib.request.urlopen(f"{base}/healthz", timeout=30).read())
+        assert health["status"] == "ok" and health["model"] == "ddim_controlnet"
+
+        im_size = cfgmod.model_params(config)["im_size"]
+        png = io.BytesIO()
+        Image.fromarray(np.zeros((im_size, im_size), np.uint8)).save(png, format="PNG")
+        for steps in (1, 4):  # 1-step x0 estimate and a genuine few-step run
+            req = urllib.request.Request(f"{base}/generate?steps={steps}",
+                                         data=png.getvalue(), method="POST")
+            with urllib.request.urlopen(req, timeout=300) as r:
+                assert r.status == 200
+                out = Image.open(io.BytesIO(r.read()))
+                assert out.size == (im_size, im_size)
+
+        # batched npz endpoint through the DDIM path
+        hints = np.zeros((2, im_size, im_size,
+                          cfgmod.model_params(config)["hint_channels"]), np.float32)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, hints=hints)
+        req = urllib.request.Request(f"{base}/generate_batch?steps=4",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+            with np.load(io.BytesIO(r.read())) as z:
+                samples = z["samples"]
+        assert samples.shape == (2, im_size, im_size, 1)
+        assert np.all(np.isfinite(samples)) and float(np.abs(samples).max()) <= 1.0
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_serve_bucket_respects_cap():
     """_bucket must never exceed max_batch: a non-power-of-two cap gets
     itself as the final bucket, not the next power of two above it (which
