@@ -145,16 +145,19 @@ def add_sampler_args(parser) -> None:
     """Shared sampler-selection flags for the four sample tools (additive
     over the reference CLI surface, which is ancestral-only).
 
-    ``--sampler ddim --sampler_steps N`` runs the few-step DDIM loop
-    (sample/ddim.py) on the same checkpoint; default stays the reference's
-    1000-step ancestral sampler, artifact-identical."""
-    parser.add_argument("--sampler", choices=["ancestral", "ddim"], default="ancestral",
-                        help="ancestral (reference parity) or few-step ddim")
+    ``--sampler ddim|dpm --sampler_steps N`` runs a few-step loop
+    (sample/ddim.py first-order, sample/dpm.py DPM-Solver++(2M) second-order)
+    on the same checkpoint; default stays the reference's 1000-step
+    ancestral sampler, artifact-identical."""
+    parser.add_argument("--sampler", choices=["ancestral", "ddim", "dpm"],
+                        default="ancestral",
+                        help="ancestral (reference parity), few-step ddim, or "
+                             "few-step dpm (DPM-Solver++ 2M, second-order)")
     parser.add_argument("--sampler_steps", type=int, default=50,
-                        help="DDIM step count (--sampler ddim only)")
+                        help="few-step sampler step count")
     parser.add_argument("--eta", type=float, default=0.0,
                         help="DDIM stochasticity; 0 = deterministic "
-                             "(--sampler ddim only)")
+                             "(--sampler ddim only; dpm is deterministic)")
 
 
 def compute_dtype_from(train_config: dict):

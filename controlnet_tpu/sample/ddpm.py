@@ -126,6 +126,7 @@ def make_ldm_sampler(
     mesh=None,
     ddim_steps: int | None = None,
     eta: float = 0.0,
+    solver: str = "ddim",
 ):
     """Latent-space sampler: scan in latent space, VAE-decode only the final
     x_0 on device (the reference decodes only at t==0 as well,
@@ -136,16 +137,18 @@ def make_ldm_sampler(
        (decoded images, latent trajectory)``.  ``mesh`` shards the batch
     over the data axis (denoise AND decode stay batch-parallel).
 
-    ``ddim_steps`` switches the latent loop to the few-step DDIM sampler
-    (sample/ddim.py; ``eta`` per ddim_step) — same checkpoint, 10-50x fewer
-    UNet evaluations; ``record_every`` is ignored in that mode (one snapshot
-    per DDIM step).
+    ``ddim_steps`` switches the latent loop to a few-step sampler (``solver``
+    picks "ddim" — sample/ddim.py, ``eta`` per ddim_step — or "dpm" —
+    DPM-Solver++(2M), sample/dpm.py) — same checkpoint, 10-50x fewer UNet
+    evaluations; ``record_every`` is ignored in that mode (one snapshot per
+    few-step update).
     """
     if ddim_steps is not None:
-        from controlnet_tpu.sample.ddim import make_ddim_sampler
+        from controlnet_tpu.sample import make_few_step_sampler
 
-        latent_sampler = make_ddim_sampler(eps_fn, sched, latent_shape,
-                                           num_steps=ddim_steps, eta=eta, mesh=mesh)
+        latent_sampler = make_few_step_sampler(solver, eps_fn, sched, latent_shape,
+                                               num_steps=ddim_steps, eta=eta,
+                                               mesh=mesh)
     else:
         latent_sampler = make_ddpm_sampler(eps_fn, sched, latent_shape, record_every,
                                            mesh=mesh)

@@ -79,9 +79,10 @@ def test_train_then_resume_then_sample(tiny_workspace):
     assert len(grids) == 2  # 8 steps / save_every 4
 
 
-def test_sample_ddim_mode(tiny_workspace):
-    """--sampler ddim runs the few-step loop through the same tool and names
-    the step grids by the visited timestep subsequence."""
+@pytest.mark.parametrize("few_step", ["ddim", "dpm"])
+def test_sample_few_step_mode(tiny_workspace, few_step):
+    """--sampler ddim/dpm runs the few-step loop through the same tool and
+    names the step grids by the visited timestep subsequence."""
     from controlnet_tpu.io.checkpoint import latest_checkpoint as _latest
     from tools.sample_ddpm import sample
     from tools.train_ddpm import train as train_ddpm
@@ -95,7 +96,7 @@ def test_sample_ddim_mode(tiny_workspace):
         os.remove(old)
     sargs = types.SimpleNamespace(config_path=tiny_workspace.config_path,
                                   num_samples=4, save_every=1, seed=0,
-                                  sampler="ddim", sampler_steps=4, eta=0.0)
+                                  sampler=few_step, sampler_steps=4, eta=0.0)
     sample(sargs)
     grids = sorted(glob.glob(os.path.join(out_dir, "x0_*.png")))
     assert len(grids) == 4  # one grid per DDIM step, T=8 subsequence

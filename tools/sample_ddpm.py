@@ -70,11 +70,11 @@ def sample(args):
     record_every = max(1, args.save_every)
     # getattr: in-process callers (tests, scripts) pass SimpleNamespaces
     # predating these flags
-    if getattr(args, "sampler", "ancestral") == "ddim":
-        from controlnet_tpu.sample.ddim import make_ddim_sampler
+    if getattr(args, "sampler", "ancestral") != "ancestral":
+        from controlnet_tpu.sample import make_few_step_sampler
 
-        sampler = make_ddim_sampler(
-            lambda p, x, t: unet(p, x, t), sched, shape,
+        sampler = make_few_step_sampler(
+            args.sampler, lambda p, x, t: unet(p, x, t), sched, shape,
             num_steps=args.sampler_steps, eta=args.eta, mesh=mesh,
         )
         step_ts = sampler.timesteps

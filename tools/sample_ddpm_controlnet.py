@@ -75,12 +75,12 @@ def sample(args):
     fwd = cn.forward_paired if tuning.get("forward") == "paired" else cn
     # getattr: in-process callers (tests, scripts) pass SimpleNamespaces
     # predating these flags
-    if getattr(args, "sampler", "ancestral") == "ddim":
-        from controlnet_tpu.sample.ddim import make_ddim_sampler
+    if getattr(args, "sampler", "ancestral") != "ancestral":
+        from controlnet_tpu.sample import make_few_step_sampler
 
-        sampler = make_ddim_sampler(
-            lambda p, x, t, f: fwd(p, x, t, hint_features=f), sched, shape,
-            num_steps=args.sampler_steps, eta=args.eta, mesh=mesh,
+        sampler = make_few_step_sampler(
+            args.sampler, lambda p, x, t, f: fwd(p, x, t, hint_features=f),
+            sched, shape, num_steps=args.sampler_steps, eta=args.eta, mesh=mesh,
         )
         step_ts = sampler.timesteps
     else:

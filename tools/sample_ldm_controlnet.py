@@ -89,12 +89,13 @@ def sample(args):
     fwd = cn.forward_paired if tuning.get("forward") == "paired" else cn
     # getattr: in-process callers (tests, scripts) pass SimpleNamespaces
     # predating the ddim flags
-    ddim = getattr(args, "sampler", "ancestral") == "ddim"
+    ddim = getattr(args, "sampler", "ancestral") != "ancestral"
     sampler = make_ldm_sampler(
         lambda p, x, t, f: fwd(p, x, t, hint_features=f), lambda p, zz: vae.decode(p, zz),
         sched, shape, record_every=record_every, mesh=mesh,
         ddim_steps=args.sampler_steps if ddim else None,
         eta=args.eta if ddim else 0.0,
+        solver=args.sampler if ddim else "ddim",
     )
     step_ts = (ddim_timesteps(sched.num_timesteps, args.sampler_steps).tolist()
                if ddim else None)

@@ -72,12 +72,13 @@ def sample(args):
     vae_params = cli.put_replicated(vae_params, mesh)
     # getattr: in-process callers (tests, scripts) pass SimpleNamespaces
     # predating the ddim flags
-    ddim = getattr(args, "sampler", "ancestral") == "ddim"
+    ddim = getattr(args, "sampler", "ancestral") != "ancestral"
     sampler = make_ldm_sampler(
         lambda p, x, t: unet(p, x, t), lambda p, zz: vae.decode(p, zz),
         sched, shape, record_every=record_every, mesh=mesh,
         ddim_steps=args.sampler_steps if ddim else None,
         eta=args.eta if ddim else 0.0,
+        solver=args.sampler if ddim else "ddim",
     )
     step_ts = (ddim_timesteps(sched.num_timesteps, args.sampler_steps).tolist()
                if ddim else None)
