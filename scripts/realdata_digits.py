@@ -296,14 +296,16 @@ def stage_eval():
     print(json.dumps(rows, indent=2))
 
 
-def _sample_uncond_timed(n: int, ddim_steps: int | None, eta: float = 0.0):
+def _sample_uncond_timed(n: int, ddim_steps: int | None, eta: float = 0.0,
+                         solver: str = "ddim"):
     """n unconditional samples from the trained DDPM ckpt; per-batch seconds.
 
     ``ddim_steps=None`` runs the 1000-step ancestral sampler (the teacher
-    convention), else the few-step DDIM loop — both are ONE jit execution
-    per batch (the whole scan), so the wall-clock per batch is a sound
-    timing (verify-skill timing trap: per-op dispatch timing is not).
-    The first batch includes compile and is reported separately.
+    convention), else the few-step loop (``solver``: "ddim" | "dpm") — all
+    are ONE jit execution per batch (the whole scan), so the wall-clock per
+    batch is a sound timing (verify-skill timing trap: per-op dispatch
+    timing is not).  The first batch includes compile and is reported
+    separately.
     """
     import time
 
@@ -312,7 +314,7 @@ def _sample_uncond_timed(n: int, ddim_steps: int | None, eta: float = 0.0):
 
     from controlnet_tpu import config as cfg
     from controlnet_tpu.models.unet import UNet
-    from controlnet_tpu.sample.ddim import make_ddim_sampler
+    from controlnet_tpu.sample import make_few_step_sampler
     from controlnet_tpu.sample.ddpm import make_ddpm_sampler
     from controlnet_tpu.schedules.linear import make_linear_schedule
     from tools.sample_ddpm import load_unet_params
@@ -328,17 +330,18 @@ def _sample_uncond_timed(n: int, ddim_steps: int | None, eta: float = 0.0):
     if ddim_steps is None:
         sampler = make_ddpm_sampler(lambda p, x, t: unet(p, x, t), sched, shape,
                                     record_every=dc["num_timesteps"])
+        tag = "ancestral"
     else:
-        sampler = make_ddim_sampler(lambda p, x, t: unet(p, x, t), sched, shape,
-                                    num_steps=ddim_steps, eta=eta)
+        sampler = make_few_step_sampler(solver, lambda p, x, t: unet(p, x, t),
+                                        sched, shape, num_steps=ddim_steps, eta=eta)
+        tag = f"{solver}{ddim_steps}"
     outs, secs = [], []
     for b0 in range(0, n, SAMPLE_BATCH):
         t0 = time.perf_counter()
         x0, _ = sampler(params, jax.random.PRNGKey(1000 + b0))
         outs.append(np.asarray(jax.device_get(x0)))  # fetch = the only sound sync
         secs.append(time.perf_counter() - t0)
-        print(f"[{'ancestral' if ddim_steps is None else f'ddim{ddim_steps}'}]"
-              f" sampled {min(b0 + SAMPLE_BATCH, n)}/{n}"
+        print(f"[{tag}] sampled {min(b0 + SAMPLE_BATCH, n)}/{n}"
               f" ({secs[-1]:.2f}s/batch)", flush=True)
     return np.concatenate(outs)[:n], secs
 
@@ -407,17 +410,18 @@ def stage_eval_ddim():
         rows["context_floor"] = teacher["ffd_floor_train_vs_test"]
         rows["context_noise"] = teacher["ffd_noise_vs_test"]
 
-    rows["ddim"] = {}
-    for steps in steps_ladder:
-        samples, secs = _sample_uncond_timed(N_SAMPLES, steps)
-        rows["ddim"][str(steps)] = {
-            "ffd_vs_test": ffd_with_ci(samples, test, 1),
-            "per_batch_seconds": [round(s, 3) for s in secs],
-            "steady_sec_per_batch": float(np.median(secs[1:]) if len(secs) > 1
-                                          else secs[0]),
-        }
-        print(f"ddim {steps}-step: FFD {rows['ddim'][str(steps)]['ffd_vs_test']}",
-              flush=True)
+    for solver in ("ddim", "dpm"):
+        rows[solver] = {}
+        for steps in steps_ladder:
+            samples, secs = _sample_uncond_timed(N_SAMPLES, steps, solver=solver)
+            rows[solver][str(steps)] = {
+                "ffd_vs_test": ffd_with_ci(samples, test, 1),
+                "per_batch_seconds": [round(s, 3) for s in secs],
+                "steady_sec_per_batch": float(np.median(secs[1:]) if len(secs) > 1
+                                              else secs[0]),
+            }
+            print(f"{solver} {steps}-step: FFD "
+                  f"{rows[solver][str(steps)]['ffd_vs_test']}", flush=True)
 
     # ControlNet leg: DDIM 50-step on real test hints, hint adherence vs the
     # committed 1000-step ControlNet row

@@ -253,11 +253,12 @@ def test_serve_distilled_model_concurrent_load(ws):
         server.server_close()
 
 
-def test_serve_ddim_controlnet(ws):
-    """--model ddim_controlnet serves the NON-distilled ControlNet teacher
-    checkpoint with few-step DDIM (?steps= = DDIM step count) — quality-
-    adjustable serving with no extra training, through the same batching
-    stack as the students."""
+@pytest.mark.parametrize("model", ["ddim_controlnet", "dpm_controlnet"])
+def test_serve_few_step_controlnet(ws, model):
+    """--model ddim_controlnet / dpm_controlnet serves the NON-distilled
+    ControlNet teacher checkpoint with a few-step solver (?steps= = solver
+    step count) — quality-adjustable serving with no extra training,
+    through the same batching stack as the students."""
     import io
     import json
     import threading
@@ -270,7 +271,7 @@ def test_serve_ddim_controlnet(ws):
     from controlnet_tpu import config as cfgmod
 
     config = cfgmod.load_config(ws.config_path)
-    args = types.SimpleNamespace(config_path=ws.config_path, model="ddim_controlnet",
+    args = types.SimpleNamespace(config_path=ws.config_path, model=model,
                                  host="127.0.0.1", port=0, seed=0, max_batch=2,
                                  max_steps=8)
     server = serve_mod.make_server(args, config)
@@ -280,7 +281,7 @@ def test_serve_ddim_controlnet(ws):
     base = f"http://127.0.0.1:{port}"
     try:
         health = json.loads(urllib.request.urlopen(f"{base}/healthz", timeout=30).read())
-        assert health["status"] == "ok" and health["model"] == "ddim_controlnet"
+        assert health["status"] == "ok" and health["model"] == model
 
         im_size = cfgmod.model_params(config)["im_size"]
         png = io.BytesIO()

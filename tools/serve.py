@@ -9,8 +9,9 @@ Endpoints:
   POST /generate            -> body: hint PNG bytes (grayscale or RGB,
                                resized to im_size); response: sample PNG,
                                X-Latency-Ms header.
-  POST /generate?steps=N    -> multi-step consistency sampling, or the DDIM
-                               step count under --model ddim_controlnet.
+  POST /generate?steps=N    -> multi-step consistency sampling, or the
+                               solver step count under --model
+                               ddim_controlnet / dpm_controlnet.
   POST /generate_batch      -> body: npz with array "hints"
                                (B, im_size, im_size, hint_channels) float32;
                                response: npz with "samples" (B, ..., C).
@@ -89,15 +90,17 @@ def build_generator(args, config):
             t = jnp.full((b,), T - 1, jnp.int32)
             return student(params, x_t, t, hint)
 
-    elif args.model == "ddim_controlnet":
-        # Few-step DDIM serving of the (non-distilled) DDPM ControlNet
-        # teacher checkpoint: no extra training required — the same ckpt the
-        # 1000-step sample tools use, at ?steps= model evaluations per image
-        # (sample/ddim.py math; steps is jit-static so the timestep
-        # subsequence is a trace-time constant and the loop is one lax.scan).
+    elif args.model in ("ddim_controlnet", "dpm_controlnet"):
+        # Few-step serving of the (non-distilled) DDPM ControlNet teacher
+        # checkpoint: no extra training required — the same ckpt the
+        # 1000-step sample tools use, at ?steps= model evaluations per image.
+        # ``steps`` is jit-static, so building the sampler (sample/ddim.py
+        # DDIM eta=0 or sample/dpm.py DPM-Solver++ 2M) happens at trace time
+        # and its inner jit inlines; hint features are hoisted out of the
+        # scan by the factory contract.
         from controlnet_tpu.models.controlnet import ControlNet
-        from controlnet_tpu.sample.ddim import ddim_timesteps
-        from controlnet_tpu.schedules.linear import ddim_step, make_linear_schedule
+        from controlnet_tpu.sample import make_few_step_sampler
+        from controlnet_tpu.schedules.linear import make_linear_schedule
         from tools.train_ddpm_controlnet import load_controlnet_params
 
         diffusion_config = cfg.diffusion_params(config)
@@ -109,29 +112,17 @@ def build_generator(args, config):
             load_controlnet_params(task_name, train_config["controlnet_ckpt_name"],
                                    cn, fallback_unet_ckpt=train_config["ddpm_ckpt_name"]),
             mesh)
+        solver = args.model.split("_")[0]  # "ddim" | "dpm"
 
         def generate(hint, key, steps=1):
-            ts_np = ddim_timesteps(sched.num_timesteps, steps)
-            ts = jnp.asarray(ts_np, jnp.int32)
-            ts_prev = jnp.asarray(np.concatenate([ts_np[1:], [-1]]), jnp.int32)
-            feats = cn.hint_features(params, hint)  # hoisted out of the scan
-            b = hint.shape[0]
-            k0, key = jax.random.split(key)
-            xt = jax.random.normal(k0, (b, im_size, im_size, im_channels))
-
-            def step(carry, t_pair):
-                xt, key = carry
-                t, t_prev = t_pair
-                key, kstep = jax.random.split(key)
-                eps = cn(params, xt, jnp.full((b,), t, jnp.int32),
-                         hint_features=feats)
-                xt_next, _ = ddim_step(sched, xt, eps, t, t_prev, kstep, eta=0.0)
-                return (xt_next, key), None
-
-            (xt, _), _ = jax.lax.scan(step, (xt, key), (ts, ts_prev))
+            feats = cn.hint_features(params, hint)
+            sampler = make_few_step_sampler(
+                solver, lambda p, x, t, f: cn(p, x, t, hint_features=f), sched,
+                (hint.shape[0], im_size, im_size, im_channels), num_steps=steps)
+            x0, _traj = sampler(params, key, feats)  # traj unused -> DCE'd
             # clamp to the image range like the sample tools' artifacts (few-
             # step x0 estimates can slightly overshoot)
-            return jnp.clip(xt, -1.0, 1.0)
+            return jnp.clip(x0, -1.0, 1.0)
 
     else:
         raise ValueError(f"unknown model {args.model}")
@@ -480,12 +471,16 @@ def main(args):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="Serve a 1-step distilled sampler over HTTP")
     parser.add_argument("--config", dest="config_path", default="config/mnist.yaml")
-    parser.add_argument("--model", choices=["consistency", "dmd", "ddim_controlnet"],
+    parser.add_argument("--model",
+                        choices=["consistency", "dmd", "ddim_controlnet",
+                                 "dpm_controlnet"],
                         default="consistency",
-                        help="distilled 1-step students, or ddim_controlnet: "
-                             "few-step DDIM from the non-distilled ControlNet "
-                             "teacher ckpt (?steps= = DDIM step count; raise "
-                             "--max-steps for quality-critical serving)")
+                        help="distilled 1-step students, or ddim_controlnet / "
+                             "dpm_controlnet: few-step sampling from the "
+                             "non-distilled ControlNet teacher ckpt (?steps= "
+                             "= solver step count; dpm is second-order — "
+                             "matched quality at roughly half the DDIM steps; "
+                             "raise --max-steps for quality-critical serving)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--seed", type=int, default=0)
