@@ -13,6 +13,9 @@ def make_few_step_sampler(kind, eps_fn, sched, shape, num_steps, eta=0.0,
         return make_ddim_sampler(eps_fn, sched, shape, num_steps=num_steps,
                                  eta=eta, compute_dtype=compute_dtype, mesh=mesh)
     if kind == "dpm":
+        if eta:  # fail fast: the ODE solver is deterministic by construction
+            raise ValueError("--eta is a DDIM knob; the dpm solver is "
+                             "deterministic (eta must be 0)")
         return make_dpm_sampler(eps_fn, sched, shape, num_steps=num_steps,
                                 compute_dtype=compute_dtype, mesh=mesh)
     raise ValueError(f"unknown few-step sampler {kind!r} (ddim | dpm)")

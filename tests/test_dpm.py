@@ -136,6 +136,17 @@ def test_dpm_sampler_shapes_determinism_hints(tiny_model_config):
     assert np.all(np.isfinite(np.asarray(xh)))
 
 
+def test_few_step_factory_guards():
+    from controlnet_tpu.sample import make_few_step_sampler
+
+    sched = make_linear_schedule(10, 1e-4, 0.02)
+    with pytest.raises(ValueError, match="deterministic"):
+        make_few_step_sampler("dpm", lambda p, x, t: x, sched, SHAPE,
+                              num_steps=4, eta=0.5)
+    with pytest.raises(ValueError, match="unknown few-step sampler"):
+        make_few_step_sampler("plms", lambda p, x, t: x, sched, SHAPE, num_steps=4)
+
+
 def test_ldm_sampler_dpm_mode(tiny_model_config):
     """make_ldm_sampler(ddim_steps=..., solver='dpm') runs the 2M loop in
     latent space (incl. the CompVis sqrt-space schedule) and still decodes
