@@ -160,6 +160,37 @@ def add_sampler_args(parser) -> None:
                              "(--sampler ddim only; dpm is deterministic)")
 
 
+def select_sampler(args, eps_fn, sched, shape, record_every, mesh=None):
+    """Honor the ``add_sampler_args`` flags: returns ``(sampler, step_ts)``
+    where ``step_ts`` is the visited few-step timestep ladder (None in
+    ancestral mode).  One implementation for all four sample tools so the
+    selection logic cannot drift between them.
+
+    getattr defaults: in-process callers (tests, scripts) pass
+    SimpleNamespaces predating these flags."""
+    if getattr(args, "sampler", "ancestral") != "ancestral":
+        from controlnet_tpu.sample import make_few_step_sampler
+
+        sampler = make_few_step_sampler(
+            args.sampler, eps_fn, sched, shape,
+            num_steps=args.sampler_steps, eta=args.eta, mesh=mesh)
+        return sampler, sampler.timesteps
+    from controlnet_tpu.sample.ddpm import make_ddpm_sampler
+
+    return make_ddpm_sampler(eps_fn, sched, shape, record_every=record_every,
+                             mesh=mesh), None
+
+
+def snapshot_timestep(k: int, step_ts, num_timesteps: int, record_every: int) -> int:
+    """Timestep label for trajectory snapshot ``k`` (0-based, newest last):
+    the few-step ladder entry when ``step_ts`` is set, else the ancestral
+    convention (snapshot k is the state after the denoising step at
+    t = T-1-(k*record_every + record_every - 1))."""
+    if step_ts is not None:
+        return step_ts[k]
+    return num_timesteps - 1 - (k * record_every + record_every - 1)
+
+
 def compute_dtype_from(train_config: dict):
     """Additive YAML key ``train_params.compute_dtype`` ("bfloat16" |
     "float32"): mixed-precision training compute dtype.  None (absent or

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from controlnet_tpu.sample.common import batch_sharding, cast_hint, draw_x_start
 from controlnet_tpu.schedules.linear import LinearSchedule, ddim_step
 
 
@@ -65,30 +66,20 @@ def make_ddim_sampler(
     ts = jnp.asarray(ts_np, jnp.int32)
     ts_prev = jnp.asarray(np.concatenate([ts_np[1:], [-1]]), jnp.int32)
 
-    if mesh is not None:
-        n_data = mesh.shape.get("data", 1)
-        assert shape[0] % n_data == 0, (
-            f"batch {shape[0]} not divisible by mesh data axis {n_data}; "
-            f"pad the request (cli.put_batch pads training batches the same way)")
-        from jax.sharding import NamedSharding, PartitionSpec
-        _batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+    _batch_sh = batch_sharding(mesh, shape)
 
     def sampler(params, key, hint=None):
-        k0, key = jax.random.split(key)
-        xt = jax.random.normal(k0, shape, jnp.float32)
-        if mesh is not None:
-            xt = jax.lax.with_sharding_constraint(xt, _batch_sh)
-            if hint is not None:
-                hint = jax.tree.map(
-                    lambda h: jax.lax.with_sharding_constraint(h, _batch_sh), hint)
+        xt, key, hint = draw_x_start(key, shape, _batch_sh, hint)
         b = shape[0]
-        hint_c = hint if (hint is None or compute_dtype is None) else jax.tree.map(
-            lambda h: h.astype(compute_dtype), hint)
+        hint_c = cast_hint(hint, compute_dtype)
 
         def step(carry, t_pair):
             xt, key = carry
             t, t_prev = t_pair
-            key, kstep = jax.random.split(key)
+            if eta == 0.0:  # deterministic: ddim_step's static eta==0 path
+                kstep = key  # ignores the key — skip the per-step split too
+            else:
+                key, kstep = jax.random.split(key)
             t_batch = jnp.full((b,), t, jnp.int32)
             x_in = xt if compute_dtype is None else xt.astype(compute_dtype)
             if hint is None:

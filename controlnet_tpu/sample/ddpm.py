@@ -19,6 +19,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from controlnet_tpu.sample.common import batch_sharding, cast_hint, draw_x_start
 from controlnet_tpu.schedules.linear import LinearSchedule, sample_prev_timestep
 
 
@@ -64,29 +65,12 @@ def make_ddpm_sampler(
     """
     T = sched.num_timesteps
     assert T % record_every == 0
-    if mesh is not None:
-        n_data = mesh.shape.get("data", 1)
-        assert shape[0] % n_data == 0, (
-            f"batch {shape[0]} not divisible by mesh data axis {n_data}; "
-            f"pad the request (cli.put_batch pads training batches the same way)")
-        from jax.sharding import NamedSharding, PartitionSpec
-        _batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+    _batch_sh = batch_sharding(mesh, shape)
 
     def sampler(params, key, hint=None):
-        k0, key = jax.random.split(key)
-        xt = jax.random.normal(k0, shape, jnp.float32)
-        if mesh is not None:
-            xt = jax.lax.with_sharding_constraint(xt, _batch_sh)
-            if hint is not None:
-                # hint may be a pytree (e.g. hoisted ControlNet hint feature
-                # maps); every leaf is batch-leading
-                hint = jax.tree.map(
-                    lambda h: jax.lax.with_sharding_constraint(h, _batch_sh), hint)
+        xt, key, hint = draw_x_start(key, shape, _batch_sh, hint)
         b = shape[0]
-        # hint may be a pytree (hoisted ControlNet hint feature maps) — cast
-        # every leaf, matching the mesh branch's pytree contract above
-        hint_c = hint if (hint is None or compute_dtype is None) else jax.tree.map(
-            lambda h: h.astype(compute_dtype), hint)
+        hint_c = cast_hint(hint, compute_dtype)
 
         def step(i, carry):
             xt, key = carry
@@ -158,4 +142,12 @@ def make_ldm_sampler(
         images = decode_fn(vae_params, z0)
         return images, traj
 
-    return jax.jit(sampler)
+    jitted = jax.jit(sampler)
+
+    def wrapped(unet_params, vae_params, key, hint=None):
+        return jitted(unet_params, vae_params, key, hint)
+
+    # few-step mode: forward the visited timestep ladder for artifact naming
+    # (the single source of truth — tools must not recompute it)
+    wrapped.timesteps = getattr(latent_sampler, "timesteps", None)
+    return wrapped

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from controlnet_tpu.sample.common import batch_sharding, cast_hint, draw_x_start
 from controlnet_tpu.sample.ddim import ddim_timesteps
 from controlnet_tpu.schedules.linear import LinearSchedule
 
@@ -78,24 +79,12 @@ def make_dpm_sampler(
         "c": jnp.asarray(c, jnp.float32),
     }
 
-    if mesh is not None:
-        n_data = mesh.shape.get("data", 1)
-        assert shape[0] % n_data == 0, (
-            f"batch {shape[0]} not divisible by mesh data axis {n_data}")
-        from jax.sharding import NamedSharding, PartitionSpec
-        _batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+    _batch_sh = batch_sharding(mesh, shape)
 
     def sampler(params, key, hint=None):
-        k0, _ = jax.random.split(key)
-        xt = jax.random.normal(k0, shape, jnp.float32)
-        if mesh is not None:
-            xt = jax.lax.with_sharding_constraint(xt, _batch_sh)
-            if hint is not None:
-                hint = jax.tree.map(
-                    lambda h_: jax.lax.with_sharding_constraint(h_, _batch_sh), hint)
+        xt, _key, hint = draw_x_start(key, shape, _batch_sh, hint)
         b = shape[0]
-        hint_c = hint if (hint is None or compute_dtype is None) else jax.tree.map(
-            lambda h_: h_.astype(compute_dtype), hint)
+        hint_c = cast_hint(hint, compute_dtype)
 
         def step(carry, consts):
             xt, x0_prev = carry

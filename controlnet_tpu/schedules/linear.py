@@ -127,6 +127,14 @@ def ddim_step(
     x0 = (xt - jnp.sqrt(1.0 - acp_t) * noise_pred) / jnp.sqrt(acp_t)
     x0_update = jnp.clip(x0, -1.0, 1.0) if clip_x0 else x0
 
+    if eta == 0.0:
+        # Deterministic fast path, decided at TRACE time (eta is a static
+        # Python float): sigma is identically 0, so skip the noise tensor —
+        # XLA cannot fold 0.0*normal(...) itself (NaN semantics), and the
+        # per-step threefry work is pure waste in the default served mode.
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - acp_prev, 0.0)) * noise_pred
+        return jnp.sqrt(acp_prev) * x0_update + dir_xt, jnp.clip(x0, -1.0, 1.0)
+
     sigma = eta * jnp.sqrt((1.0 - acp_prev) / (1.0 - acp_t)) * jnp.sqrt(
         1.0 - acp_t / acp_prev)
     # direction pointing to x_t; the max() guards float cancellation at

@@ -296,8 +296,27 @@ def stage_eval():
     print(json.dumps(rows, indent=2))
 
 
-def _sample_uncond_timed(n: int, ddim_steps: int | None, eta: float = 0.0,
-                         solver: str = "ddim"):
+def _load_uncond_stack():
+    """Config + trained DDPM checkpoint loaded ONCE for the whole
+    eval_ddim ladder (the 2-solver x N-step sweep reuses it)."""
+    from controlnet_tpu import config as cfg
+    from controlnet_tpu.models.unet import UNet
+    from controlnet_tpu.schedules.linear import make_linear_schedule
+    from tools.sample_ddpm import load_unet_params
+
+    config = cfg.load_config(os.path.join(WS, "digits.yaml"))
+    mc = cfg.model_params(config)
+    dc = cfg.diffusion_params(config)
+    sched = make_linear_schedule(dc["num_timesteps"], dc["beta_start"], dc["beta_end"])
+    unet = UNet(mc["im_channels"], mc)
+    params = load_unet_params(cfg.train_params(config)["task_name"],
+                              cfg.train_params(config)["ddpm_ckpt_name"], unet)
+    shape = (SAMPLE_BATCH, mc["im_size"], mc["im_size"], mc["im_channels"])
+    return unet, params, sched, shape, dc
+
+
+def _sample_uncond_timed(stack, n: int, ddim_steps: int | None,
+                         eta: float = 0.0, solver: str = "ddim"):
     """n unconditional samples from the trained DDPM ckpt; per-batch seconds.
 
     ``ddim_steps=None`` runs the 1000-step ancestral sampler (the teacher
@@ -312,21 +331,10 @@ def _sample_uncond_timed(n: int, ddim_steps: int | None, eta: float = 0.0,
     import jax
     import numpy as np
 
-    from controlnet_tpu import config as cfg
-    from controlnet_tpu.models.unet import UNet
     from controlnet_tpu.sample import make_few_step_sampler
     from controlnet_tpu.sample.ddpm import make_ddpm_sampler
-    from controlnet_tpu.schedules.linear import make_linear_schedule
-    from tools.sample_ddpm import load_unet_params
 
-    config = cfg.load_config(os.path.join(WS, "digits.yaml"))
-    mc = cfg.model_params(config)
-    dc = cfg.diffusion_params(config)
-    sched = make_linear_schedule(dc["num_timesteps"], dc["beta_start"], dc["beta_end"])
-    unet = UNet(mc["im_channels"], mc)
-    params = load_unet_params(cfg.train_params(config)["task_name"],
-                              cfg.train_params(config)["ddpm_ckpt_name"], unet)
-    shape = (SAMPLE_BATCH, mc["im_size"], mc["im_size"], mc["im_channels"])
+    unet, params, sched, shape, dc = stack
     if ddim_steps is None:
         sampler = make_ddpm_sampler(lambda p, x, t: unet(p, x, t), sched, shape,
                                     record_every=dc["num_timesteps"])
@@ -395,17 +403,22 @@ def stage_eval_ddim():
                   "per_batch_seconds_note":
                       "first batch includes jit compile; steady = median of the rest"}
 
+    teacher = None
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            teacher = json.load(f)
+
     # ancestral timing context on the same ckpt/protocol (FFD context comes
     # from the committed stage-eval artifact: same ckpt, same test split)
+    stack = _load_uncond_stack()
     anc_n = min(N_SAMPLES, 2 * SAMPLE_BATCH)
-    _, anc_secs = _sample_uncond_timed(anc_n, None)
+    _, anc_secs = _sample_uncond_timed(stack, anc_n, None)
     rows["ancestral_1000step"] = {
         "per_batch_seconds": [round(s, 3) for s in anc_secs],
         "steady_sec_per_batch": float(np.median(anc_secs[1:]) if len(anc_secs) > 1
                                       else anc_secs[0]),
     }
-    if os.path.exists(RESULTS):
-        teacher = json.load(open(RESULTS))
+    if teacher is not None:
         rows["ancestral_1000step"]["ffd_vs_test"] = teacher["ffd_samples_vs_test"]
         rows["context_floor"] = teacher["ffd_floor_train_vs_test"]
         rows["context_noise"] = teacher["ffd_noise_vs_test"]
@@ -413,7 +426,8 @@ def stage_eval_ddim():
     for solver in ("ddim", "dpm"):
         rows[solver] = {}
         for steps in steps_ladder:
-            samples, secs = _sample_uncond_timed(N_SAMPLES, steps, solver=solver)
+            samples, secs = _sample_uncond_timed(stack, N_SAMPLES, steps,
+                                                 solver=solver)
             rows[solver][str(steps)] = {
                 "ffd_vs_test": ffd_with_ci(samples, test, 1),
                 "per_batch_seconds": [round(s, 3) for s in secs],
@@ -433,9 +447,8 @@ def stage_eval_ddim():
     cn_samples = _sample_cn_ddim(hints, cn_steps)
     rows["cn_ddim"] = {"steps": cn_steps,
                        "hint_adherence": _edge_agreement(cn_samples, hints)}
-    if os.path.exists(RESULTS):
-        rows["cn_ddim"]["context_ancestral_adherence"] = (
-            json.load(open(RESULTS))["cn_hint_adherence"])
+    if teacher is not None:
+        rows["cn_ddim"]["context_ancestral_adherence"] = teacher["cn_hint_adherence"]
 
     out = os.environ.get("REALDATA_DDIM_RESULTS",
                          os.path.join(REPO, "docs", "artifacts",

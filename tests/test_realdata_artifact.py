@@ -22,6 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACT = os.path.join(REPO, "docs", "artifacts", "realdata_digits_r5.json")
 DISTILL_ARTIFACT = os.path.join(
     REPO, "docs", "artifacts", "realdata_distill_r5.json")
+DDIM_ARTIFACT = os.path.join(REPO, "docs", "artifacts", "realdata_ddim_r5.json")
 
 
 def test_realdata_artifact_pins_convergence():
@@ -59,6 +60,55 @@ def test_realdata_artifact_pins_convergence():
     for png in ("realdata_samples_r5.png", "realdata_cn_samples_r5.png",
                 "realdata_cn_hints_r5.png"):
         assert os.path.exists(os.path.join(REPO, "docs", "artifacts", png)), png
+
+
+def test_realdata_ddim_artifact_pins_few_step_ladder():
+    """Pin the few-step sampler ladder on the real-data checkpoints
+    (scripts/realdata_digits.py eval_ddim, run on the v5e).
+
+    Recorded: 512 samples per (solver, steps) point from the SAME trained
+    DDPM checkpoint, FFD vs the 300 held-out real digits; DDIM (first
+    order) vs DPM-Solver++(2M) (second order) at 10/25/50/100 steps, with
+    the 1000-step ancestral teacher and the real-data floor as context,
+    plus ControlNet DDIM-50 hint adherence on real test hints."""
+    assert os.path.exists(DDIM_ARTIFACT), "few-step ladder artifact missing"
+    rows = json.load(open(DDIM_ARTIFACT))
+    assert rows["n_samples"] >= 512 and rows["n_test"] == 300
+
+    anc = rows["ancestral_1000step"]["ffd_vs_test"]["ffd"]
+    floor = rows["context_floor"]["ffd"]
+    noise = rows["context_noise"]["ffd"]
+    ddim = {int(k): v["ffd_vs_test"]["ffd"] for k, v in rows["ddim"].items()}
+    dpm = {int(k): v["ffd_vs_test"]["ffd"] for k, v in rows["dpm"].items()}
+
+    # headline: the second-order solver at TEN steps matches the 1000-step
+    # teacher (measured 1.017 vs 1.007, floor 1.141) — 100x fewer model
+    # evaluations at teacher quality, no extra training
+    assert dpm[10] < 1.1 * floor, (dpm[10], floor)
+    assert dpm[10] < anc + 0.15, (dpm[10], anc)
+    # DPM beats DDIM at every rung (second order vs first order)
+    for steps in sorted(ddim):
+        assert dpm[steps] < ddim[steps], (steps, dpm[steps], ddim[steps])
+    # DDIM shows the expected first-order degradation at very few steps and
+    # recovers monotonically toward the teacher
+    assert ddim[10] > noise  # 10-step DDIM is visibly degraded
+    assert ddim[100] < ddim[50] < ddim[25] < ddim[10]
+    assert ddim[100] < 1.3 * floor
+
+    # ControlNet DDIM-50 on real test hints: adherence within a whisker of
+    # the 1000-step ancestral run (0.975/0.981 vs 0.987/0.984)
+    cn = rows["cn_ddim"]["hint_adherence"]
+    ref = rows["cn_ddim"]["context_ancestral_adherence"]
+    assert cn["edge_precision"] > 0.95 and cn["edge_recall"] > 0.95
+    assert cn["edge_precision"] > ref["edge_precision"] - 0.05
+
+    # the timing columns exist and the few-step modes are faster per batch
+    # than the 1000-step scan (wall numbers are tunnel-noisy; the pin is
+    # deliberately loose)
+    anc_s = rows["ancestral_1000step"]["steady_sec_per_batch"]
+    for solver in ("ddim", "dpm"):
+        for v in rows[solver].values():
+            assert v["steady_sec_per_batch"] < 0.5 * anc_s
 
 
 def test_realdata_distill_artifact_pins_students():

@@ -271,9 +271,12 @@ def test_serve_few_step_controlnet(ws, model):
     from controlnet_tpu import config as cfgmod
 
     config = cfgmod.load_config(ws.config_path)
+    # --max-steps 64 exceeds this config's num_timesteps (8): the server
+    # must clamp the allowlist to the schedule length, so an in-allowlist-
+    # but-over-schedule request is a 400, not a 500 inside jit tracing.
     args = types.SimpleNamespace(config_path=ws.config_path, model=model,
                                  host="127.0.0.1", port=0, seed=0, max_batch=2,
-                                 max_steps=8)
+                                 max_steps=64)
     server = serve_mod.make_server(args, config)
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -282,6 +285,7 @@ def test_serve_few_step_controlnet(ws, model):
     try:
         health = json.loads(urllib.request.urlopen(f"{base}/healthz", timeout=30).read())
         assert health["status"] == "ok" and health["model"] == model
+        assert health["max_steps"] == 8  # clamped to num_timesteps
 
         im_size = cfgmod.model_params(config)["im_size"]
         png = io.BytesIO()
@@ -307,6 +311,16 @@ def test_serve_few_step_controlnet(ws, model):
                 samples = z["samples"]
         assert samples.shape == (2, im_size, im_size, 1)
         assert np.all(np.isfinite(samples)) and float(np.abs(samples).max()) <= 1.0
+
+        # over the schedule length (but under the operator flag) -> 400
+        import urllib.error
+        req = urllib.request.Request(f"{base}/generate?steps=32",
+                                     data=png.getvalue(), method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 400 for steps above num_timesteps"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         server.shutdown()
         server.server_close()

@@ -22,7 +22,6 @@ import numpy as np
 from controlnet_tpu import cli, config as cfg
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.unet import UNet
-from controlnet_tpu.sample.ddpm import make_ddpm_sampler
 from controlnet_tpu.schedules.linear import make_linear_schedule
 
 
@@ -68,32 +67,16 @@ def sample(args):
 
     T = sched.num_timesteps
     record_every = max(1, args.save_every)
-    # getattr: in-process callers (tests, scripts) pass SimpleNamespaces
-    # predating these flags
-    if getattr(args, "sampler", "ancestral") != "ancestral":
-        from controlnet_tpu.sample import make_few_step_sampler
-
-        sampler = make_few_step_sampler(
-            args.sampler, lambda p, x, t: unet(p, x, t), sched, shape,
-            num_steps=args.sampler_steps, eta=args.eta, mesh=mesh,
-        )
-        step_ts = sampler.timesteps
-    else:
-        sampler = make_ddpm_sampler(
-            lambda p, x, t: unet(p, x, t), sched, shape, record_every=record_every,
-            mesh=mesh,
-        )
-        step_ts = None
+    sampler, step_ts = cli.select_sampler(
+        args, lambda p, x, t: unet(p, x, t), sched, shape, record_every, mesh=mesh)
     params = cli.put_replicated(params, mesh)
     x0, traj = sampler(params, jax.random.PRNGKey(args.seed))
     traj = np.asarray(jax.device_get(traj))[:, :num_samples]
 
     out_dir = os.path.join(task_name, "samples")
     os.makedirs(out_dir, exist_ok=True)
-    # snapshot k (0-based) is the state after the denoising step at t =
-    # T-1-k*re (ancestral) / step_ts[k] (ddim subsequence)
     for k in range(traj.shape[0]):
-        t = step_ts[k] if step_ts is not None else T - 1 - (k * record_every + record_every - 1)
+        t = cli.snapshot_timestep(k, step_ts, T, record_every)
         save_image_grid((traj[k] + 1.0) / 2.0, os.path.join(out_dir, f"x0_{t}.png"), nrow=nrow)
     print(f"Wrote {traj.shape[0]} step grids to {out_dir}")
 

@@ -18,7 +18,6 @@ import numpy as np
 from controlnet_tpu import cli, config as cfg, tuning
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.controlnet import ControlNet
-from controlnet_tpu.sample.ddpm import make_ddpm_sampler
 from controlnet_tpu.schedules.linear import make_linear_schedule
 from tools.train_ddpm_controlnet import load_controlnet_params
 
@@ -73,27 +72,14 @@ def sample(args):
     # attention batching (see tools/sample_ldm_controlnet.py) — same math,
     # scheduling only.
     fwd = cn.forward_paired if tuning.get("forward") == "paired" else cn
-    # getattr: in-process callers (tests, scripts) pass SimpleNamespaces
-    # predating these flags
-    if getattr(args, "sampler", "ancestral") != "ancestral":
-        from controlnet_tpu.sample import make_few_step_sampler
-
-        sampler = make_few_step_sampler(
-            args.sampler, lambda p, x, t, f: fwd(p, x, t, hint_features=f),
-            sched, shape, num_steps=args.sampler_steps, eta=args.eta, mesh=mesh,
-        )
-        step_ts = sampler.timesteps
-    else:
-        sampler = make_ddpm_sampler(
-            lambda p, x, t, f: fwd(p, x, t, hint_features=f), sched, shape,
-            record_every=record_every, mesh=mesh,
-        )
-        step_ts = None
+    sampler, step_ts = cli.select_sampler(
+        args, lambda p, x, t, f: fwd(p, x, t, hint_features=f), sched, shape,
+        record_every, mesh=mesh)
     x0, traj = sampler(params, jax.random.PRNGKey(args.seed), hint_feats)
     traj = np.asarray(jax.device_get(traj))[:, :num_samples]
     T = sched.num_timesteps
     for k in range(traj.shape[0]):
-        t = step_ts[k] if step_ts is not None else T - 1 - (k * record_every + record_every - 1)
+        t = cli.snapshot_timestep(k, step_ts, T, record_every)
         save_image_grid((traj[k] + 1.0) / 2.0, os.path.join(out_dir, f"x0_{t}.png"), nrow=nrow)
     print(f"Wrote hint grid + {traj.shape[0]} step grids to {out_dir}")
 

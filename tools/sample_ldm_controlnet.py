@@ -21,7 +21,6 @@ from controlnet_tpu.data.datasets import CelebDataset
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.controlnet import ControlNet
 from controlnet_tpu.models.vae import VAE
-from controlnet_tpu.sample.ddim import ddim_timesteps
 from controlnet_tpu.sample.ddpm import make_ldm_sampler
 from controlnet_tpu.schedules.linear import make_linear_schedule
 from tools.infer_vae import load_vae_params
@@ -97,15 +96,14 @@ def sample(args):
         eta=args.eta if ddim else 0.0,
         solver=args.sampler if ddim else "ddim",
     )
-    step_ts = (ddim_timesteps(sched.num_timesteps, args.sampler_steps).tolist()
-               if ddim else None)
+    step_ts = sampler.timesteps  # None in ancestral mode
     images, traj = sampler(params, vae_params, jax.random.PRNGKey(args.seed), hint_feats)
     images = np.asarray(jax.device_get(images))[:num_samples]
     traj = np.asarray(jax.device_get(traj))[:, :num_samples]
 
     T = sched.num_timesteps
     for k in range(traj.shape[0]):
-        t = step_ts[k] if step_ts is not None else T - 1 - (k * record_every + record_every - 1)
+        t = cli.snapshot_timestep(k, step_ts, T, record_every)
         save_image_grid((traj[k][..., :1] + 1.0) / 2.0,
                         os.path.join(out_dir, f"x0_{t}.png"), nrow=nrow)
     save_image_grid((images + 1.0) / 2.0, os.path.join(out_dir, "final_decoded.png"), nrow=nrow)

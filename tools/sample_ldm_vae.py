@@ -19,7 +19,6 @@ from controlnet_tpu import cli, config as cfg
 from controlnet_tpu.io.images import save_image_grid
 from controlnet_tpu.models.unet import UNet
 from controlnet_tpu.models.vae import VAE
-from controlnet_tpu.sample.ddim import ddim_timesteps
 from controlnet_tpu.sample.ddpm import make_ldm_sampler
 from controlnet_tpu.schedules.linear import make_linear_schedule
 from tools.infer_vae import load_vae_params
@@ -80,8 +79,7 @@ def sample(args):
         eta=args.eta if ddim else 0.0,
         solver=args.sampler if ddim else "ddim",
     )
-    step_ts = (ddim_timesteps(sched.num_timesteps, args.sampler_steps).tolist()
-               if ddim else None)
+    step_ts = sampler.timesteps  # None in ancestral mode
     images, traj = sampler(unet_params, vae_params, jax.random.PRNGKey(args.seed))
     images = np.asarray(jax.device_get(images))[:num_samples]
     traj = np.asarray(jax.device_get(traj))[:, :num_samples]
@@ -90,7 +88,7 @@ def sample(args):
     os.makedirs(out_dir, exist_ok=True)
     T = sched.num_timesteps
     for k in range(traj.shape[0]):
-        t = step_ts[k] if step_ts is not None else T - 1 - (k * record_every + record_every - 1)
+        t = cli.snapshot_timestep(k, step_ts, T, record_every)
         # latent channel-0 visualization, normalized like the reference's
         # clamped latent grids
         save_image_grid((traj[k][..., :1] + 1.0) / 2.0,

@@ -139,8 +139,13 @@ def build_generator(args, config):
                 hint = jax.lax.with_sharding_constraint(hint, batch_sh)
             return inner(hint, key, steps)
 
+    # Teacher solvers walk a subsequence of the diffusion schedule, so steps
+    # can never exceed num_timesteps — report that cap so the handler can
+    # 400 out-of-range requests instead of 500ing inside jit tracing.
+    steps_cap = (cfg.diffusion_params(config)["num_timesteps"]
+                 if args.model.endswith("_controlnet") else None)
     gen = jax.jit(generate, static_argnames="steps")
-    return gen, im_size, im_channels, model_config["hint_channels"]
+    return gen, im_size, im_channels, model_config["hint_channels"], steps_cap
 
 
 def _bucket(b: int, max_batch: int) -> int:
@@ -308,12 +313,16 @@ class _MicroBatcher:
 
 def make_server(args, config, warm: bool = True) -> ThreadingHTTPServer:
     """Build the (not yet running) HTTP server; tests drive it in-thread."""
-    gen, im_size, im_channels, hint_channels = build_generator(args, config)
+    gen, im_size, im_channels, hint_channels, steps_cap = build_generator(args, config)
     max_batch = getattr(args, "max_batch", 8)
     # Bounded allowlist for the jit-static steps argument: total compiled
     # programs are capped at buckets x max_steps (warmup covers steps=1, the
-    # hot path; other allowed values compile once on first use).
+    # hot path; other allowed values compile once on first use).  For the
+    # few-step teacher models the schedule length is a hard cap on top of
+    # the operator's --max-steps (a ladder cannot exceed num_timesteps).
     max_steps = getattr(args, "max_steps", 8)
+    if steps_cap is not None:
+        max_steps = min(max_steps, steps_cap)
 
     if warm:
         # AOT warmup: compile every batch bucket before serving (powers of
