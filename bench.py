@@ -191,6 +191,34 @@ def bench_north_star() -> dict | None:
                     8 / time_leg(8, chunked=True), 4)
         except Exception as e:  # pragma: no cover
             print(f"# north-star throughput leg unavailable: {e}", file=sys.stderr)
+        # few-step leg on the SAME north-star config (additive, round 5):
+        # 50-step DPM-Solver++ in latent space at the throughput batch —
+        # same hoisted-hints protocol as the ancestral legs, so the ratio
+        # is the pure step-count win.  Teacher-quality basis: the real-data
+        # ladder (docs/artifacts/realdata_ddim_r5.json) shows the 2M solver
+        # at teacher quality from ~10 steps.
+        try:
+            from controlnet_tpu.sample import make_few_step_sampler
+
+            steps_fs = int(os.environ.get("BENCH_LDM_FEWSTEP_STEPS", "50"))
+            nb_fs = int(os.environ.get("BENCH_THROUGHPUT_BATCH", "16"))
+            hint_fs = jnp.zeros((nb_fs, 1024, 1024, 3))
+            feats_fs = cn.hint_features_chunked(params, hint_fs)
+            sampler_fs = make_few_step_sampler(
+                "dpm", lambda p, x, t, f: fwd(p, x, t, hint_features=f),
+                sched, (nb_fs, 32, 32, 4), num_steps=steps_fs,
+                compute_dtype=jnp.bfloat16)
+            jax.block_until_ready(
+                sampler_fs(params, jax.random.PRNGKey(1), feats_fs)[0])
+            t0 = time.time()
+            x0, _ = sampler_fs(params, jax.random.PRNGKey(2), feats_fs)
+            jax.block_until_ready(x0)
+            dt_fs = time.time() - t0
+            out["ldm_controlnet_fewstep_steps"] = steps_fs
+            out[f"ldm_controlnet_dpm{steps_fs}_samples_per_sec_chip"] = round(
+                nb_fs / dt_fs, 4)
+        except Exception as e:  # pragma: no cover
+            print(f"# north-star few-step leg unavailable: {e}", file=sys.stderr)
         return out
     except Exception as e:  # pragma: no cover
         print(f"# north-star bench unavailable: {e}", file=sys.stderr)
