@@ -160,6 +160,33 @@ def add_sampler_args(parser) -> None:
                              "(--sampler ddim only; dpm is deterministic)")
 
 
+def add_cfg_args(parser) -> None:
+    """``--cfg_scale`` for the two ControlNet sample tools: classifier-free
+    guidance over the hint condition (sample/cfg.py).  Default None keeps
+    the plain conditional model — reference parity (the reference defines
+    CFG drops but wires them nowhere, SURVEY.md component #19)."""
+    parser.add_argument("--cfg_scale", type=float, default=None,
+                        help="classifier-free guidance scale (s=1 is the "
+                             "plain conditional model; >1 sharpens hint "
+                             "adherence; requires a checkpoint trained "
+                             "with train_params.cfg_drop_prob > 0 for a "
+                             "meaningful null branch)")
+
+
+def apply_cfg(args, eps_fn, hint_arg, null_hint_fn):
+    """Honor ``--cfg_scale``: returns ``(eps_fn, hint_arg)`` — wrapped for
+    guidance with a (cond, null) hint pair when the flag is set, unchanged
+    otherwise.  ``null_hint_fn`` is a thunk computing the null-hint features
+    (only evaluated when guidance is on).  One implementation for both
+    ControlNet sample tools so the wiring cannot drift."""
+    scale = getattr(args, "cfg_scale", None)
+    if scale is None:
+        return eps_fn, hint_arg
+    from controlnet_tpu.sample.cfg import make_cfg_eps_fn
+
+    return make_cfg_eps_fn(eps_fn, scale), (hint_arg, null_hint_fn())
+
+
 def select_sampler(args, eps_fn, sched, shape, record_every, mesh=None):
     """Honor the ``add_sampler_args`` flags: returns ``(sampler, step_ts)``
     where ``step_ts`` is the visited few-step timestep ladder (None in

@@ -88,18 +88,35 @@ def make_ddpm_train_step(model, sched: LinearSchedule, tx: optax.GradientTransfo
 # ---------------------------------------------------------------------------
 
 def make_controlnet_train_step(cn: ControlNet, sched: LinearSchedule, tx: optax.GradientTransformation,
-                               compute_dtype=None):
+                               compute_dtype=None, cfg_drop_prob: float = 0.0):
     """step(state, frozen, images, hints, key) -> (state, loss).
 
     ``state.params`` is the *trainable* split (control branch + zero convs
-    [+ decoder when unlocked]); ``frozen`` is the frozen split."""
+    [+ decoder when unlocked]); ``frozen`` is the frozen split.
+
+    ``cfg_drop_prob`` > 0 zeroes each sample's hint with that probability
+    (utils.diffusion_utils.drop_image_condition), teaching the model the
+    null condition so it can be sampled with classifier-free guidance
+    (sample/cfg.py).  Default 0.0 keeps reference parity — the reference
+    defines the drop helpers but wires them into no trainer (SURVEY.md
+    component #19)."""
+
+    if cfg_drop_prob > 0:
+        from controlnet_tpu.utils.diffusion_utils import drop_image_condition
 
     def step(state: TrainState, frozen, images, hints, key):
+        if cfg_drop_prob > 0:
+            # extra split ONLY on the opt-in path: with cfg_drop_prob == 0 the
+            # (kt, kn) stream is bit-identical to the reference-parity step,
+            # which the shared-RNG replay regression tests pin.
+            key, kd = jax.random.split(key)
         kt, kn = jax.random.split(key)
         b = images.shape[0]
         t = jax.random.randint(kt, (b,), 0, sched.num_timesteps)
         noise = jax.random.normal(kn, images.shape, images.dtype)
         noisy = _cast(add_noise(sched, images, noise, t), compute_dtype)
+        if cfg_drop_prob > 0:
+            hints = drop_image_condition(hints, kd, cfg_drop_prob)
         hints_c = _cast(hints, compute_dtype)
 
         def loss_fn(trainable):

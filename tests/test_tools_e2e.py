@@ -142,3 +142,53 @@ def test_controlnet_train_and_sample(tiny_workspace):
         after = np.asarray(Image.open(g)).astype(np.float32)
         assert after.shape == img.shape
         assert float(np.abs(after - img).mean()) < 8.0, g
+
+
+def test_controlnet_cfg_train_and_guided_sample(tiny_workspace):
+    """End-to-end classifier-free guidance: train the ControlNet with
+    train_params.cfg_drop_prob (null-condition exposure), then sample with
+    --cfg_scale through the ancestral AND few-step paths.  s=1.0 must
+    reproduce the plain conditional tool output exactly (identical x_T and
+    eps stream); s>1 must produce a different grid (guidance steers)."""
+    import numpy as np
+    from PIL import Image
+
+    from controlnet_tpu.io.checkpoint import latest_checkpoint as _latest
+    from tools.sample_ddpm_controlnet import sample
+    from tools.train_ddpm import train as train_ddpm
+    from tools.train_ddpm_controlnet import train
+
+    args = types.SimpleNamespace(config_path=tiny_workspace.config_path)
+    if _latest(tiny_workspace.task, "ddpm_ckpt.pth") is None:  # run-alone support
+        train_ddpm(args)
+    with open(tiny_workspace.config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["train_params"]["cfg_drop_prob"] = 0.3
+    with open(tiny_workspace.config_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    train(args)
+    assert _latest(tiny_workspace.task, "ddpm_controlnet_ckpt.pth") is not None
+
+    out = os.path.join(tiny_workspace.task, "hint_samples")
+
+    def run(cfg_scale, sampler="ancestral"):
+        for old in glob.glob(os.path.join(out, "x0_*.png")):
+            os.remove(old)
+        sargs = types.SimpleNamespace(
+            config_path=tiny_workspace.config_path, num_samples=4,
+            save_every=8, seed=0, sampler=sampler, sampler_steps=4, eta=0.0,
+            cfg_scale=cfg_scale)
+        sample(sargs)
+        g = sorted(glob.glob(os.path.join(out, "x0_*.png")))
+        assert g
+        return np.asarray(Image.open(g[0])).astype(np.float32)
+
+    plain = run(None)
+    s1 = run(1.0)
+    s5 = run(5.0)
+    # s=1: u + 1*(c-u) == c up to one float rounding of the combine
+    assert float(np.abs(s1 - plain).max()) <= 1.0  # uint8 grids, <=1 LSB
+    assert float(np.abs(s5 - plain).mean()) > 0.5  # guidance moved the samples
+    # few-step path accepts the same flag
+    few = run(3.0, sampler="ddim")
+    assert few.shape == plain.shape

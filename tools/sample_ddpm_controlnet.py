@@ -72,10 +72,18 @@ def sample(args):
     # attention batching (see tools/sample_ldm_controlnet.py) — same math,
     # scheduling only.
     fwd = cn.forward_paired if tuning.get("forward") == "paired" else cn
+    eps_fn = lambda p, x, t, f: fwd(p, x, t, hint_features=f)
+    # --cfg_scale: guided sampling over a (cond, null) hint-feature pair;
+    # the null branch is the zero hint (drop_image_condition's null),
+    # encoded once at batch 1 and tiled (sample/cfg.py).
+    from controlnet_tpu.sample.cfg import null_hint_features
+    eps_fn, hint_arg = cli.apply_cfg(
+        args, eps_fn, hint_feats,
+        lambda: null_hint_features(jax.jit(cn.hint_features), params,
+                                   hints_in.shape[1:], batch))
     sampler, step_ts = cli.select_sampler(
-        args, lambda p, x, t, f: fwd(p, x, t, hint_features=f), sched, shape,
-        record_every, mesh=mesh)
-    x0, traj = sampler(params, jax.random.PRNGKey(args.seed), hint_feats)
+        args, eps_fn, sched, shape, record_every, mesh=mesh)
+    x0, traj = sampler(params, jax.random.PRNGKey(args.seed), hint_arg)
     traj = np.asarray(jax.device_get(traj))[:, :num_samples]
     T = sched.num_timesteps
     for k in range(traj.shape[0]):
@@ -91,4 +99,5 @@ if __name__ == "__main__":
     parser.add_argument("--save_every", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
     cli.add_sampler_args(parser)
+    cli.add_cfg_args(parser)
     sample(parser.parse_args())

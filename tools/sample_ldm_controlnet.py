@@ -89,15 +89,24 @@ def sample(args):
     # getattr: in-process callers (tests, scripts) pass SimpleNamespaces
     # predating the ddim flags
     ddim = getattr(args, "sampler", "ancestral") != "ancestral"
+    eps_fn = lambda p, x, t, f: fwd(p, x, t, hint_features=f)
+    # --cfg_scale: guided latent sampling over a (cond, null) hint-feature
+    # pair; the null branch (zero full-res hint) is encoded once at batch 1
+    # and tiled — skips batch-1 extra runs of the 1024^2 conv stack.
+    from controlnet_tpu.sample.cfg import null_hint_features
+    eps_fn, hint_arg = cli.apply_cfg(
+        args, eps_fn, hint_feats,
+        lambda: null_hint_features(jax.jit(cn.hint_features), params,
+                                   hints_in.shape[1:], batch))
     sampler = make_ldm_sampler(
-        lambda p, x, t, f: fwd(p, x, t, hint_features=f), lambda p, zz: vae.decode(p, zz),
+        eps_fn, lambda p, zz: vae.decode(p, zz),
         sched, shape, record_every=record_every, mesh=mesh,
         ddim_steps=args.sampler_steps if ddim else None,
         eta=args.eta if ddim else 0.0,
         solver=args.sampler if ddim else "ddim",
     )
     step_ts = sampler.timesteps  # None in ancestral mode
-    images, traj = sampler(params, vae_params, jax.random.PRNGKey(args.seed), hint_feats)
+    images, traj = sampler(params, vae_params, jax.random.PRNGKey(args.seed), hint_arg)
     images = np.asarray(jax.device_get(images))[:num_samples]
     traj = np.asarray(jax.device_get(traj))[:, :num_samples]
 
@@ -117,4 +126,5 @@ if __name__ == "__main__":
     parser.add_argument("--save_every", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
     cli.add_sampler_args(parser)
+    cli.add_cfg_args(parser)
     sample(parser.parse_args())

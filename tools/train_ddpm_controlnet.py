@@ -76,8 +76,12 @@ def train(args):
     mesh = cli.mesh_or_none()
     state = cli.put_replicated(state, mesh)
     frozen = cli.put_replicated(frozen, mesh)
+    # additive key: cfg_drop_prob > 0 trains the null (zero-hint) condition
+    # for classifier-free guidance at sampling time (--cfg_scale); default
+    # 0.0 = reference parity (SURVEY.md component #19: drops never wired).
     step = make_controlnet_train_step(cn, sched, tx,
-                                      compute_dtype=cli.compute_dtype_from(train_config))
+                                      compute_dtype=cli.compute_dtype_from(train_config),
+                                      cfg_drop_prob=float(train_config.get("cfg_drop_prob", 0.0)))
 
     if hint_backend == "tpu":
         from controlnet_tpu.ops.canny import canny_hints
